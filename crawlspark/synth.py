@@ -1,0 +1,282 @@
+"""Deterministic fixture synthesis (seed=42, no external data) — FIXTURES.md §A.
+
+Generates the crawl world shared by the Spark engine AND the pure-Python
+scheduler oracle: images (the BASELINE.json input_hint payload table), a
+host-skewed Zipf link graph (`pages`), seed jobs, robots rules, and per-host
+politeness budgets. Everything is a pure function of (seed, sizes), so the
+same world can be rebuilt at any scale for tests vs bench.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from crawlspark import constants as C
+from crawlspark import image as IMG
+from crawlspark import schema as S
+from crawlspark.pyparity import canon_of, host_of
+
+FMT_CYCLE = ("ppm", "bmp", "png", "qnt")
+
+
+def _h(s: str) -> int:
+    """Deterministic 64-bit hash for traffic-shaping decisions (not xxhash —
+    only used to pick statuses/latencies, never as the engine's seen key)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+@dataclass
+class PageSpec:
+    url_canon: str
+    status: int
+    flaky_attempts: int  # first k attempts return 503, then `status`
+    body_image_id: str | None
+    out_links: list[str] = field(default_factory=list)  # raw (pre-canon) link strings
+    redirect_to: str | None = None
+    latency_us: int = 1000
+
+
+@dataclass
+class World:
+    pages: dict[str, PageSpec]  # keyed by canonical URL
+    images: list[dict]
+    seeds: list[dict]
+    robots: list[dict]
+    politeness: list[dict]
+    n_hosts: int
+
+
+def _host_name(h: int) -> str:
+    return f"h{h:04d}.test"
+
+
+def _page_url(h: int, i: int) -> str:
+    return f"http://{_host_name(h)}/p/{i}"
+
+
+def make_world(
+    n_hosts: int = 12,
+    total_pages: int = 400,
+    n_images: int | None = None,
+    n_seeds: int | None = None,
+    seed: int = 42,
+    image_sizes: tuple[int, ...] = (16, 32),
+) -> World:
+    """Build the deterministic crawl world.
+
+    Host sizes follow Zipf(s≈1.2) so host 0 is hot (the skew the salted
+    host-bucket scheme must defuse). The within-host link graph is a binary
+    tree (page i → 2i+1, 2i+2) plus cross-host edges and deliberately messy
+    link variants (uppercase host, :80, fragments, duplicates) that must all
+    canonicalize + dedup to one fetch.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+
+    weights = np.array([(h + 1) ** -1.2 for h in range(n_hosts)])
+    weights /= weights.sum()
+    pages_per_host = np.maximum(1, (weights * total_pages).astype(int))
+
+    if n_images is None:
+        n_images = max(16, int(pages_per_host.sum()) // 4)
+
+    # --- images (input_hint shape) -------------------------------------
+    images = []
+    for i in range(n_images):
+        iid = f"img{i:08d}"
+        w = int(image_sizes[i % len(image_sizes)])
+        hgt = int(image_sizes[(i // len(image_sizes)) % len(image_sizes)])
+        fmt = FMT_CYCLE[i % len(FMT_CYCLE)]
+        px = IMG.reference_pixels(iid, w, hgt)
+        data = IMG.ENCODERS[fmt](px)
+        decoded = IMG.DECODERS[fmt](data)
+        images.append(
+            {
+                "image_id": iid,
+                "bytes": data,
+                "w": w,
+                "h": hgt,
+                "fmt": fmt,
+                "caption": f"caption for {iid}: a deterministic {w}x{hgt} {fmt} test image",
+                "phash": IMG.average_hash(decoded),
+            }
+        )
+
+    # --- pages ----------------------------------------------------------
+    pages: dict[str, PageSpec] = {}
+    for h in range(n_hosts):
+        n_p = int(pages_per_host[h])
+        for i in range(n_p):
+            url = _page_url(h, i)
+            canon = canon_of(url)
+            hv = _h(canon)
+            status, flaky, redirect_to = 200, 0, None
+            r = hv % 100
+            if r < 4:
+                status = 404
+            elif r < 7:
+                flaky = 1 + (hv >> 8) % 2  # 503 for 1-2 attempts, then 200
+            elif r < 9:
+                status = 500  # permanently failing
+            elif r < 11 and i + 1 < n_p:
+                status = 301
+                redirect_to = _page_url(h, i + 1)
+
+            links: list[str] = []
+            for child in (2 * i + 1, 2 * i + 2):
+                if child < n_p:
+                    links.append(_page_url(h, child))
+            # cross-host edge (hot host gets extra in-links — skew by design)
+            if i % 3 == 0 and n_hosts > 1:
+                links.append(_page_url((h + i) % n_hosts, i % max(1, int(pages_per_host[(h + i) % n_hosts]))))
+            if i % 5 == 0:
+                links.append(_page_url(0, i % int(pages_per_host[0])))
+            # messy variants: must canonicalize to an existing link above
+            if links and i % 4 == 0:
+                tgt = links[0]
+                hostpart = tgt.split("/")[2]
+                variants = [
+                    tgt.replace(hostpart, hostpart.upper()),
+                    tgt.replace(hostpart, hostpart + ":80"),
+                    tgt + "#frag",
+                    tgt,  # plain duplicate
+                ]
+                links.append(variants[(i // 4) % len(variants)])
+            # a robots-disallowed link on some hosts
+            if i % 6 == 0:
+                links.append(f"http://{_host_name(h)}/private/{i}")
+
+            pages[canon] = PageSpec(
+                url_canon=canon,
+                status=status,
+                flaky_attempts=flaky,
+                body_image_id=f"img{hv % n_images:08d}" if status == 200 or flaky else None,
+                out_links=links,
+                redirect_to=redirect_to,
+                latency_us=1000 + hv % 49000,
+            )
+
+    # /private pages exist but are robots-gated (never fetched if gate works)
+    for h in range(n_hosts):
+        n_p = int(pages_per_host[h])
+        for i in range(0, n_p, 6):
+            canon = canon_of(f"http://{_host_name(h)}/private/{i}")
+            pages[canon] = PageSpec(
+                url_canon=canon,
+                status=200,
+                flaky_attempts=0,
+                body_image_id=f"img{_h(canon) % n_images:08d}",
+                out_links=[],
+                latency_us=1000,
+            )
+
+    # --- redirect resolution targets must exist ------------------------
+    for spec in list(pages.values()):
+        if spec.redirect_to and canon_of(spec.redirect_to) not in pages:
+            spec.status, spec.redirect_to = 404, None
+
+    # --- seeds ----------------------------------------------------------
+    if n_seeds is None:
+        n_seeds = min(n_hosts, 8)
+    seeds = []
+    for k in range(n_seeds):
+        h = k % n_hosts
+        url = _page_url(h, 0)
+        seeds.append(
+            {
+                "job_id": f"seed{k:04d}",
+                "url": url,
+                "method": "GET",
+                "body": None,
+                "headers": {"User-Agent": C.DEFAULT_USER_AGENT},
+                "url_params": {},
+                "priority": k % 3,  # exercise all three priority channels
+                "max_retries": 2,
+                "retry_policy": C.RETRY_JOB,
+                "max_retry_delay_us": C.DEFAULT_MAX_RETRY_DELAY_US,
+                "seed_order": k,
+            }
+        )
+
+    # --- robots + politeness (new-engine spec, FIXTURES.md A4/A5) -------
+    robots = [
+        {
+            "host": _host_name(h),
+            "disallow_prefixes": ["/private"] if h % 2 == 0 else [],
+            "crawl_delay_us": 100_000 if h % 5 == 0 else None,
+        }
+        for h in range(n_hosts)
+    ]
+    politeness = [
+        # hot host gets a tight budget so the per-host window actually bites
+        {"host": _host_name(h), "max_per_wave": 4 if h == 0 else 16}
+        for h in range(n_hosts)
+    ]
+    del rng  # all decisions above are hash-derived; rng reserved for future knobs
+    return World(
+        pages=pages,
+        images=images,
+        seeds=seeds,
+        robots=robots,
+        politeness=politeness,
+        n_hosts=n_hosts,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark DataFrame construction
+# ---------------------------------------------------------------------------
+
+
+def images_df(spark, world: World):
+    pdf = pd.DataFrame(world.images)
+    return spark.createDataFrame(pdf, schema=S.IMAGES_SCHEMA)
+
+
+def pages_df(spark, world: World):
+    """Pages table with url_hash computed IN SPARK (xxhash64 parity with the
+    frontier's seen keys — no Python xxhash implementation exists or is needed)."""
+    rows = [
+        {
+            "url": p.url_canon,
+            "status": p.status,
+            "flaky_attempts": p.flaky_attempts,
+            "body_image_id": p.body_image_id,
+            "out_links": p.out_links,
+            "redirect_to": canon_of(p.redirect_to) if p.redirect_to else None,
+            "latency_us": p.latency_us,
+        }
+        for p in world.pages.values()
+    ]
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf, schema="url string, status int, flaky_attempts int, body_image_id string, out_links array<string>, redirect_to string, latency_us bigint")
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.xxhash64("url").alias("url_hash"),
+        "url",
+        "status",
+        "flaky_attempts",
+        "body_image_id",
+        "out_links",
+        "redirect_to",
+        "latency_us",
+    )
+
+
+def seeds_df(spark, world: World):
+    pdf = pd.DataFrame(world.seeds)
+    return spark.createDataFrame(pdf, schema=S.SEEDS_SCHEMA)
+
+
+def robots_df(spark, world: World):
+    pdf = pd.DataFrame(world.robots)
+    return spark.createDataFrame(pdf, schema=S.ROBOTS_SCHEMA)
+
+
+def politeness_df(spark, world: World):
+    pdf = pd.DataFrame(world.politeness)
+    return spark.createDataFrame(pdf, schema=S.POLITENESS_SCHEMA)
