@@ -1,0 +1,443 @@
+"""The BSP wave loop — the engine's driver program (SURVEY.md §3.4).
+
+One wave (superstep) replaces the reference's per-job pipeline
+(DoJob, scrapemate.go:311-396). Stages are DataFrame transformations;
+boundaries are shuffles; the only driver-side state is small counters.
+
+    1. ELIGIBLE  pending ∧ not_before ≤ wave_ts            (scan + filter)
+    2. POLITE    per-host top-k (salted two-phase window)   (politeness.py)
+    3. WAVE      global top-budget by (priority, seq)       (frontier.py)
+    4. FETCH     equi-join vs resolved pages + attempt calc (fetch.py)
+    5. OUTCOME   retry/backoff/policy dispatch              (fetch.py)
+    6. RESULTS   image join + validation UDF → results      (image.py)
+    7. CHILDREN  posexplode links → canon → dedup → admit   (urlnorm/seen.py)
+    8. COMMIT    atomically advance the manifest            (checkpoint.py)
+
+Termination: pending empty (the batch analog of the reference's inactivity
+exit, scrapemate.go:247-276), a StopScraping failure (cancelFn analog), or
+the max-wave guard.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark import constants as C
+from crawlspark import frontier, politeness, urlnorm
+from crawlspark import fetch as FT
+from crawlspark import seen as SEEN
+from crawlspark.checkpoint import TableIO
+from crawlspark.image import validate_image_udf
+
+PENDING_COLS = [
+    "job_id", "parent_id", "url_canon", "url_hash", "cache_key", "host",
+    "host_bucket", "priority", "seq", "max_retries", "retry_policy",
+    "max_retry_delay_us", "retry_count", "not_before_us", "wave",
+]
+
+TERMINAL_SCHEMA = (
+    "job_id string, url_canon string, attempts int, final_state string, wave int"
+)
+ORDER_SCHEMA = "wave int, rank long, job_id string, url_canon string"
+SEEN_TBL_SCHEMA = "url_hash long, cache_key string, first_seen_wave int"
+
+
+@dataclass
+class CrawlConfig:
+    wave_budget: int = C.DEFAULT_WAVE_BUDGET
+    default_host_budget: int = C.DEFAULT_HOST_BUDGET
+    wave_period_us: int = 500_000
+    max_waves: int = C.DEFAULT_MAX_WAVES
+    host_buckets: int = C.DEFAULT_HOST_BUCKETS
+    salt_buckets: int = 16
+    validate_images: bool = True
+    use_bloom: bool = True
+    bloom_partitions: int = 16
+    bloom_bits: int = 1 << 20
+    workdir: str | None = None  # set → durable checkpoints + resume
+
+
+@dataclass
+class CrawlRun:
+    order: DataFrame
+    results: DataFrame
+    terminal: DataFrame
+    seen: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+    waves: int = 0
+    stopped: bool = False
+    resumed_from_wave: int = 0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark,
+        pages: DataFrame,
+        robots: DataFrame,
+        budgets: DataFrame,
+        images: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        # one-time batch cost, amortized over every wave
+        self.pages = FT.resolve_redirects(pages).persist()
+        self.robots = robots.persist()
+        self.budgets = budgets.persist()
+        self.images = images
+        self.io = TableIO(spark, self.cfg.workdir) if self.cfg.workdir else None
+        self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self._seen_chain = 0
+        self.bloom = (
+            SEEN.PartitionedBloom(self.cfg.bloom_partitions, self.cfg.bloom_bits)
+            if self.cfg.use_bloom
+            else None
+        )
+
+    # ------------------------------------------------------------------ #
+    def _admit_seeds(self, seeds: DataFrame):
+        """Wave-0 seed injection (scrapemateapp.go:73-81 analog): canonize,
+        dedup within the seed list (first push wins), robots-gate, assign seq."""
+        s = urlnorm.with_url_columns(
+            seeds.select(
+                "job_id", "url", "url_params", "method", "body",
+                "priority", "max_retries", "retry_policy", "max_retry_delay_us",
+                "seed_order",
+            ),
+            self.cfg.host_buckets,
+        ).withColumn("priority", frontier.normalize_priority(F.col("priority")))
+
+        w = Window.partitionBy("cache_key").orderBy("seed_order")
+        s = s.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+        allowed, blocked = politeness.robots_gate(s, self.robots)
+        allowed = frontier.with_global_rank(allowed, ("seed_order",), "_srank")
+        pending = (
+            allowed.withColumn("seq", (F.col("_srank") - 1).cast("long"))
+            .withColumn("parent_id", F.lit(None).cast("string"))
+            .withColumn("retry_count", F.lit(0).cast("int"))
+            .withColumn("not_before_us", F.lit(0).cast("long"))
+            .withColumn("wave", F.lit(0).cast("int"))
+            .withColumn(
+                "max_retry_delay_us",
+                F.when(F.col("max_retry_delay_us") <= 0, F.lit(C.DEFAULT_MAX_RETRY_DELAY_US))
+                .otherwise(F.col("max_retry_delay_us")),
+            )
+            .select(*PENDING_COLS)
+        )
+        seen_delta = s.select(
+            "url_hash", "cache_key", F.lit(0).alias("first_seen_wave")
+        )
+        blocked_terminal = blocked.select(
+            "job_id", "url_canon", F.lit(0).cast("int").alias("attempts"),
+            F.lit(C.ST_DISCARDED).alias("final_state"), F.lit(0).cast("int").alias("wave"),
+        )
+        return pending, seen_delta, blocked_terminal
+
+    # ------------------------------------------------------------------ #
+    def _expand_children(self, done: DataFrame, seen: DataFrame, wave: int, wave_ts: int, seq_base: int):
+        """Stage 7: crawl expansion (finishJob→pushJobs, scrapemate.go:578-603).
+
+        Children inherit the parent's priority/retry config; job identity is
+        md5(parent|pos|canon)[:16]; dedup = in-batch first-occurrence window
+        + bloom prefilter + exact anti-join vs seen (seen.py)."""
+        parents = done.filter(
+            F.col("out_links").isNotNull() & (F.size("out_links") > 0)
+        ).select(
+            F.col("job_id").alias("parent_id"),
+            F.col("rank").alias("parent_rank"),
+            "priority", "max_retries", "retry_policy", "max_retry_delay_us",
+            F.posexplode("out_links").alias("link_pos", "url"),
+        )
+        cand = urlnorm.with_url_columns(
+            parents.withColumn("url_params", F.lit(None).cast("map<string,string>"))
+            .withColumn("method", F.lit("GET"))
+            .withColumn("body", F.lit(None).cast("binary")),
+            self.cfg.host_buckets,
+        ).withColumn(
+            "job_id",
+            F.substring(
+                F.md5(F.concat_ws("|", "parent_id", "link_pos", "url_canon")), 1, 16
+            ),
+        ).persist()
+        n_candidates = cand.count()
+
+        # in-batch dedup: first occurrence by (parent_rank, link_pos) wins —
+        # the order parents push children in (scrapemate_test.go:445-534)
+        w = Window.partitionBy("cache_key").orderBy("parent_rank", "link_pos")
+        cand = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+        fresh = SEEN.dedup_against_seen(cand, seen, self.bloom).persist()
+        allowed, blocked = politeness.robots_gate(fresh, self.robots)
+        allowed = frontier.assign_child_seq(allowed, seq_base)
+
+        admitted = (
+            allowed.withColumn("retry_count", F.lit(0).cast("int"))
+            .withColumn("not_before_us", F.lit(wave_ts).cast("long"))
+            .withColumn("wave", F.lit(wave).cast("int"))
+            .select(*PENDING_COLS)
+        )
+        seen_delta = fresh.select(
+            "url_hash", "cache_key", F.lit(wave).alias("first_seen_wave")
+        )
+        blocked_terminal = blocked.select(
+            "job_id", "url_canon", F.lit(0).cast("int").alias("attempts"),
+            F.lit(C.ST_DISCARDED).alias("final_state"), F.lit(wave).cast("int").alias("wave"),
+        )
+        return admitted, seen_delta, blocked_terminal, n_candidates
+
+    # ------------------------------------------------------------------ #
+    def _build_results(self, done: DataFrame, wave: int) -> DataFrame:
+        base = done.select(
+            "job_id", "parent_id", "url_canon",
+            F.lit(wave).cast("int").alias("wave"),
+            F.col("rank").cast("int").alias("rank"),
+            "status", "attempts",
+            F.lit(False).alias("from_cache"),
+            F.col("body_image_id").alias("image_id"),
+            "latency_us",
+        )
+        if self.images is None or not self.cfg.validate_images:
+            return (
+                base.withColumn("caption", F.lit(None).cast("string"))
+                .withColumn("phash", F.lit(None).cast("long"))
+                .withColumn("psnr_db", F.lit(None).cast("double"))
+                .withColumn("pixels_ok", F.lit(None).cast("boolean"))
+            )
+        img = self.images.select("image_id", "bytes", "fmt", "caption", "phash")
+        joined = base.join(img, "image_id", "left")
+        v = validate_image_udf(F.col("image_id"), F.col("bytes"), F.col("fmt"))
+        return (
+            joined.withColumn("_v", v)
+            .withColumn(
+                "psnr_db",
+                F.when(F.col("image_id").isNull(), F.lit(None)).otherwise(F.col("_v.psnr_db")),
+            )
+            .withColumn(
+                "pixels_ok",
+                F.when(F.col("image_id").isNull(), F.lit(None)).otherwise(F.col("_v.pixels_ok")),
+            )
+            .drop("_v", "bytes", "fmt")
+        )
+
+    # ------------------------------------------------------------------ #
+    def _materialize(self, df: DataFrame, table: str, wave: int) -> DataFrame:
+        """Cut lineage per wave: durable parquet when checkpointing, else
+        localCheckpoint (plan would otherwise grow superlinearly with waves)."""
+        if self.io:
+            self.io.write_wave(df, table, wave)
+            return self.spark.read.parquet(self.io.wave_path(table, wave))
+        return df.localCheckpoint(eager=True)
+
+    # ------------------------------------------------------------------ #
+    def run(self, seeds: DataFrame, resume: bool = False) -> CrawlRun:
+        spark = self.spark
+        cfg = self.cfg
+        t0 = time.monotonic()
+
+        order_parts: list[DataFrame] = []
+        results_parts: list[DataFrame] = []
+        terminal_parts: list[DataFrame] = []
+        metrics: list[dict] = []
+        resumed_from = 0
+
+        manifest = self.io.read_manifest() if (resume and self.io) else None
+        if manifest:
+            wave = manifest["wave"]
+            seq_base = manifest["seq_base"]
+            stopped = manifest["stopped"]
+            resumed_from = wave
+            metrics = list(manifest.get("metrics", []))
+            pending = self.io.read_waves("pending", [wave], schema=None)
+            seen = self.io.read_waves(
+                "seen", list(range(0, wave + 1)), schema=SEEN_TBL_SCHEMA
+            )
+            for w0 in range(0, wave + 1):
+                for tbl, parts in (
+                    ("order", order_parts),
+                    ("results", results_parts),
+                    ("terminal", terminal_parts),
+                ):
+                    import os
+
+                    if os.path.exists(self.io.wave_path(tbl, w0)):
+                        parts.append(spark.read.parquet(self.io.wave_path(tbl, w0)))
+            if self.bloom is not None and seen is not None:
+                self.bloom.add_from_df(seen)  # rebuild tier from committed seen set
+        else:
+            wave = 0
+            stopped = False
+            pending, seen_delta, blocked_term = self._admit_seeds(seeds)
+            pending = self._materialize(pending, "pending", 0)
+            seen = self._materialize(seen_delta, "seen", 0)
+            blocked_term = self._materialize(blocked_term, "terminal", 0)
+            terminal_parts.append(blocked_term)
+            seq_base = pending.count()
+            if self.bloom is not None:
+                self.bloom.add_from_df(seen)
+            if self.io:
+                self.io.commit_manifest(
+                    {"wave": 0, "seq_base": seq_base, "stopped": False, "metrics": []}
+                )
+
+        # ---------------- BSP loop -------------------------------------- #
+        while wave < cfg.max_waves and not stopped:
+            wave += 1
+            wave_ts = wave * cfg.wave_period_us
+            wt0 = time.monotonic()
+
+            eligible = pending.filter(F.col("not_before_us") <= wave_ts)
+            future = pending.filter(F.col("not_before_us") > wave_ts)
+
+            polite = politeness.per_host_topk(
+                eligible, self.budgets, cfg.default_host_budget, cfg.salt_buckets
+            )
+            wave_sel = frontier.select_wave(polite, cfg.wave_budget).persist()
+            n_sched = wave_sel.count()
+            if n_sched == 0:
+                wave_sel.unpersist()
+                nxt = pending.agg(F.min("not_before_us").alias("m")).collect()[0]["m"]
+                if nxt is None:
+                    break  # frontier empty — fixpoint (inactivity-exit analog)
+                # fast-forward the virtual clock to the first eligible backoff
+                # (identical wave numbering: the oracle's intervening waves
+                # select nothing and emit nothing)
+                wave = max(wave, -(-int(nxt) // cfg.wave_period_us) - 1)
+                continue
+
+            leftover = eligible.join(
+                wave_sel.select("job_id"), "job_id", "left_anti"
+            )
+
+            fetched = FT.fetch_simulate(wave_sel, self.pages)
+            out = FT.apply_outcomes(fetched, wave_ts).persist()
+
+            by_outcome = {
+                r["outcome"]: r["n"]
+                for r in out.groupBy("outcome").agg(F.count("*").alias("n")).collect()
+            }
+            n_done = by_outcome.get("done", 0)
+            n_failed = by_outcome.get("failed", 0) + by_outcome.get("stop", 0)
+            n_retried = by_outcome.get("retry", 0)
+            stopped = by_outcome.get("stop", 0) > 0
+
+            order_df = out.select(
+                F.lit(wave).cast("int").alias("wave"),
+                F.col("rank").cast("long").alias("rank"),
+                "job_id", "url_canon",
+            )
+            done = out.filter(F.col("outcome") == "done")
+            results_df = self._build_results(done, wave)
+            terminal_df = out.filter(F.col("outcome").isin("done", "failed", "stop")).select(
+                "job_id", "url_canon", "attempts",
+                F.when(F.col("outcome") == "done", C.ST_DONE)
+                .otherwise(C.ST_FAILED)
+                .alias("final_state"),
+                F.lit(wave).cast("int").alias("wave"),
+            )
+
+            admitted, seen_delta, blocked_term, n_candidates = self._expand_children(
+                done, seen, wave, wave_ts, seq_base
+            )
+            admitted = self._materialize(admitted, "admitted", wave)
+            seen_delta = self._materialize(seen_delta, "seen", wave)
+            n_allowed = admitted.count()
+            n_new = seen_delta.count()
+            seq_base += n_allowed
+
+            retried = out.filter(F.col("outcome") == "retry").select(*PENDING_COLS)
+            new_pending = (
+                future.unionByName(leftover)
+                .unionByName(retried)
+                .unionByName(admitted)
+            )
+            # re-bucket + sort the frontier snapshot: without this the union
+            # chain inflates partition counts O(waves²); with it the next
+            # wave's host window reads host-clustered, (priority, seq)-sorted
+            # runs (SURVEY.md §4.4 sorted-partition layout)
+            new_pending = new_pending.repartition(
+                self._n_shuffle, "host_bucket"
+            ).sortWithinPartitions("priority", "seq")
+            pending = self._materialize(new_pending, "pending", wave)
+            seen = seen.unionByName(seen_delta)  # both sides already materialized
+            self._seen_chain += 1
+            if self._seen_chain >= 8:
+                # periodic compaction (the Nutch CrawlDb-merge analog): bound
+                # the delta chain so anti-join scan width stays O(P), not O(waves)
+                seen = self._materialize(
+                    seen.repartition(self._n_shuffle, "url_hash"), "seen_full", wave
+                )
+                self._seen_chain = 0
+            if self.bloom is not None:
+                self.bloom.add_from_df(seen_delta)
+
+            # wave outputs stay LAZY over the persisted `out`/`cand` frames in
+            # memory mode (one final union at end-of-run); durable mode writes
+            # them now so a resume can replay committed waves.
+            terminal_df = terminal_df.unionByName(blocked_term)
+            if self.io:
+                order_df = self._materialize(order_df, "order", wave)
+                results_df = self._materialize(results_df, "results", wave)
+                terminal_df = self._materialize(terminal_df, "terminal", wave)
+            order_parts.append(order_df)
+            results_parts.append(results_df)
+            terminal_parts.append(terminal_df)
+
+            n_pending_after = pending.count()
+            metrics.append(
+                {
+                    "wave": wave,
+                    "scheduled": n_sched,
+                    "completed": n_done,
+                    "failed": n_failed,
+                    "retried": n_retried,
+                    "new_urls": n_new,
+                    "deduped": n_candidates - n_new,
+                    "pending_after": n_pending_after,
+                    "wall_sec": round(time.monotonic() - wt0, 3),
+                }
+            )
+            if self.io:
+                self.io.commit_manifest(
+                    {
+                        "wave": wave,
+                        "seq_base": seq_base,
+                        "stopped": stopped,
+                        "metrics": metrics,
+                    }
+                )
+                out.unpersist()
+                wave_sel.unpersist()
+            # memory mode: `out`/`cand` stay cached — the end-of-run union of
+            # wave outputs reads them instead of recomputing the whole wave
+            if n_pending_after == 0:
+                break
+
+        def _union(parts, schema):
+            if not parts:
+                return spark.createDataFrame([], schema)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
+
+        return CrawlRun(
+            order=_union(order_parts, ORDER_SCHEMA),
+            results=_union(
+                results_parts,
+                "job_id string, parent_id string, url_canon string, wave int, rank int, "
+                "status int, attempts int, from_cache boolean, image_id string, "
+                "latency_us long, caption string, phash long, psnr_db double, pixels_ok boolean",
+            ),
+            terminal=_union(terminal_parts, TERMINAL_SCHEMA),
+            seen=seen,
+            metrics=metrics,
+            waves=wave,
+            stopped=stopped,
+            resumed_from_wave=resumed_from,
+        )

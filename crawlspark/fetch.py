@@ -1,0 +1,156 @@
+"""Fetch simulation + retry/backoff/policy dispatch as DataFrame ops.
+
+Reference analogs:
+  * HTTP fetch (nethttp.go:34-92) → a shuffle join of the wave against the
+    synthetic `pages` table on url_hash. At production scale the join target
+    is the real network: an applyInPandas per host-bucket doing async HTTP —
+    the surrounding plan (and all the retry semantics below) is unchanged.
+  * transparent redirect follow (Go http.Client default) → `resolve_redirects`
+    pre-resolves chains ≤3 hops with iterative self-joins, once per run.
+  * doFetch retry loop (scrapemate.go:398-453) → virtual time: a failed
+    attempt re-enters `pending` with retry_count+1 and not_before = wave_ts +
+    backoff delay. Backoff is metadata, not sleeping tasks.
+  * DoCheckResponse default accept 2xx (job.go:180-188).
+  * policy dispatch (scrapemate.go:422-451): Discard → give up after first
+    failure; Stop → cancel the whole crawl; RefreshIP → retry without delay
+    (the reference leaves it unimplemented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawlspark import constants as C
+
+MAX_REDIRECT_HOPS = 3
+
+
+def resolve_redirects(pages: DataFrame, max_hops: int = MAX_REDIRECT_HOPS) -> DataFrame:
+    """Collapse redirect chains so the wave join is a single equi-join.
+
+    Iterative self-join on the redirect edge (≤3 hops, like a browser's
+    redirect limit); pages still redirecting after max_hops surface as 508.
+    One-time batch cost, amortized over every wave.
+    """
+    resolved = pages
+    for _ in range(max_hops):
+        tgt = pages.select(
+            F.col("url").alias("_t_url"),
+            F.col("status").alias("_t_status"),
+            F.col("flaky_attempts").alias("_t_flaky"),
+            F.col("body_image_id").alias("_t_img"),
+            F.col("out_links").alias("_t_links"),
+            F.col("redirect_to").alias("_t_next"),
+            F.col("latency_us").alias("_t_lat"),
+        )
+        resolved = (
+            resolved.join(tgt, resolved["redirect_to"] == tgt["_t_url"], "left")
+            .select(
+                "url_hash",
+                "url",
+                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_status"))
+                .when(F.col("redirect_to").isNotNull(), F.lit(404))
+                .otherwise(F.col("status"))
+                .alias("status"),
+                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_flaky"))
+                .when(F.col("redirect_to").isNotNull(), F.lit(0))
+                .otherwise(F.col("flaky_attempts"))
+                .alias("flaky_attempts"),
+                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_img"))
+                .when(F.col("redirect_to").isNotNull(), F.lit(None))
+                .otherwise(F.col("body_image_id"))
+                .alias("body_image_id"),
+                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_links"))
+                .when(F.col("redirect_to").isNotNull(), F.lit(None))
+                .otherwise(F.col("out_links"))
+                .alias("out_links"),
+                F.when(F.col("redirect_to").isNotNull(), F.col("_t_next"))
+                .otherwise(F.lit(None))
+                .alias("redirect_to"),
+                (F.col("latency_us") + F.coalesce(F.when(F.col("redirect_to").isNotNull(), F.col("_t_lat")), F.lit(0))).alias("latency_us"),
+            )
+        )
+    # chains longer than max_hops: loop exhausted → 508
+    return resolved.withColumn(
+        "status",
+        F.when(F.col("redirect_to").isNotNull(), F.lit(508)).otherwise(F.col("status")),
+    ).withColumn("redirect_to", F.lit(None).cast("string"))
+
+
+def fetch_simulate(wave: DataFrame, pages_resolved: DataFrame) -> DataFrame:
+    """One fetch attempt per selected row: equi-join on url_hash.
+
+    Missing page → 404 (network-level failure analog); a page with
+    flaky_attempts=k returns 503 for attempts 0..k-1 then its real status —
+    the deterministic failure source that drives the retry goldens.
+    """
+    p = pages_resolved.select(
+        "url_hash",
+        F.col("status").alias("page_status"),
+        "flaky_attempts",
+        "body_image_id",
+        "out_links",
+        "latency_us",
+    )
+    joined = wave.join(p, "url_hash", "left")
+    status = (
+        F.when(F.col("page_status").isNull(), F.lit(404))
+        .when(F.col("retry_count") < F.coalesce(F.col("flaky_attempts"), F.lit(0)), F.lit(503))
+        .otherwise(F.col("page_status"))
+    )
+    return (
+        joined.withColumn("status", status.cast("int"))
+        .withColumn("ok", F.col("status").between(200, 299))
+        .withColumn("attempts", (F.col("retry_count") + 1).cast("int"))
+        .drop("page_status")
+    )
+
+
+def backoff_delay_expr(retry_k, cap_us):
+    """Delay before the k-th retry — the exact doFetch recurrence
+    (scrapemate.go:408-448): d₁=100ms; after each sleep,
+    if d > cap: d = cap else d *= 2. Unrolled as a CASE chain (retries are
+    capped at 5, so the chain depth is bounded; pure Catalyst, no UDF)."""
+    d = F.lit(C.INITIAL_RETRY_DELAY_US).cast("long")
+    expr = F.when(retry_k == 1, d)
+    for k in range(2, C.MAX_RETRIES_CAP + 2):
+        d = F.when(d > cap_us, cap_us).otherwise(d * 2)
+        expr = expr.when(retry_k == k, d)
+    return expr.otherwise(cap_us)
+
+
+def apply_outcomes(fetched: DataFrame, wave_ts_us: int) -> DataFrame:
+    """Policy dispatch → an `outcome` column ∈ {done, failed, retry, stop}.
+
+    retry rows also get their updated retry_count / not_before_us. `stop`
+    rows are terminal failures whose policy cancels the whole crawl — the
+    driver checks for any such row after the wave commits (deterministic
+    analog of cancelFn, scrapemate.go:429-435).
+    """
+    eff_max = F.greatest(F.lit(0), F.least(F.col("max_retries"), F.lit(C.MAX_RETRIES_CAP)))
+    can_retry = F.col("retry_count") < eff_max
+    is_retry_pol = F.col("retry_policy").isin(C.RETRY_JOB, C.REFRESH_IP)
+
+    outcome = (
+        F.when(F.col("ok"), F.lit("done"))
+        .when(F.col("retry_policy") == C.DISCARD_JOB, F.lit("failed"))
+        .when(F.col("retry_policy") == C.STOP_SCRAPING, F.lit("stop"))
+        .when(is_retry_pol & can_retry, F.lit("retry"))
+        .otherwise(F.lit("failed"))
+    )
+    new_retry_count = F.when(outcome == "retry", F.col("retry_count") + 1).otherwise(
+        F.col("retry_count")
+    )
+    delay = F.when(
+        F.col("retry_policy") == C.REFRESH_IP, F.lit(0).cast("long")
+    ).otherwise(backoff_delay_expr(new_retry_count, F.col("max_retry_delay_us")))
+    new_not_before = F.when(
+        outcome == "retry", F.lit(wave_ts_us) + delay
+    ).otherwise(F.col("not_before_us"))
+
+    return (
+        fetched.withColumn("outcome", outcome)
+        .withColumn("retry_count", new_retry_count.cast("int"))
+        .withColumn("not_before_us", new_not_before.cast("long"))
+    )

@@ -1,0 +1,87 @@
+"""Frontier operators: deterministic seq/rank assignment and wave selection.
+
+Reference analogs: Push/Jobs of the memory provider
+(/root/reference/adapters/providers/memory/memory.go:29-98) — strict priority
+0>1>2 with FIFO within a level — re-expressed as sorts over a frontier table.
+
+Scale notes (the parts a naive port gets wrong at 10^10 rows):
+  * Global rank is NEVER a single-partition window. `with_global_rank` range-
+    partitions on the sort key, ranks within partitions, and adds per-partition
+    offsets (driver sees only P counts). Deterministic regardless of the
+    physical partition boundaries.
+  * `monotonically_increasing_id` is banned — it depends on partition layout,
+    so a retried stage could renumber the frontier (SURVEY.md §7.5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark import constants as C
+
+ORDER_COLS = ("priority", "seq")
+
+
+def normalize_priority(col):
+    """memory.go:78-87: unknown priority routes to the high channel (0)."""
+    return F.when(col.isin(*C.KNOWN_PRIORITIES), col).otherwise(
+        F.lit(C.PRIORITY_HIGH)
+    ).cast("int")
+
+
+def with_global_rank(
+    df: DataFrame, order_cols=ORDER_COLS, rank_col: str = "rank", n_parts: int | None = None
+) -> DataFrame:
+    """1-based dense global rank by `order_cols`, without a global window.
+
+    Plan: repartitionByRange(order_cols) → per-partition row_number →
+    + cumulative offset of preceding partitions (P-row driver aggregate,
+    broadcast back). Wall-clock is one range shuffle; no single-task sort.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    ).persist()  # the count-collect below and the join both consume it
+    counts = {r["_pid"]: r["n"] for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        parted.join(F.broadcast(offset_df), "_pid")
+        .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def select_wave(eligible_polite: DataFrame, wave_budget: int) -> DataFrame:
+    """Global budget: top-`wave_budget` by (priority, seq) = strict priority
+    with FIFO inside each level (the nested-select semantics of memory.go:37-64).
+
+    Rank first (scalably), then filter — when the budget is not binding this
+    is just the rank projection. The returned frame carries `rank`, which is
+    the wave's crawl-order position (used by goldens + child seq assignment).
+    """
+    ranked = with_global_rank(eligible_polite, ORDER_COLS, "rank")
+    return ranked.filter(F.col("rank") <= wave_budget)
+
+
+def assign_child_seq(children: DataFrame, seq_base: int) -> DataFrame:
+    """Deterministic FIFO seq for newly expanded jobs: parents push children
+    in completion-rank order, links in document order
+    (finishJob→pushJobs, scrapemate.go:578-603; pinned by
+    scrapemate_test.go:445-534 parent-before-child ordering)."""
+    ranked = with_global_rank(children, ("parent_rank", "link_pos"), "_seqrank")
+    return ranked.withColumn(
+        "seq", (F.lit(seq_base) + F.col("_seqrank") - 1).cast("long")
+    ).drop("_seqrank")
