@@ -1,38 +1,729 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship frontier-semantics pipeline over sf0.001.
+`queries()` — one entry per implemented operator (SURVEY.md §2 + the
+training-data pipeline ops), each a (spark, sf_dir) -> DataFrame callable.
+`oracle_sql()` — matching ANSI SQL for DuckDB over the same parquet views.
+Queries without an oracle entry are genuinely non-SQL-expressible (the BSP
+crawl loop, bloom/cuckoo tiers, image decode) and get rows-only checks.
+
+Column names are aliased identically on both sides; doubles are rounded on
+both sides; timestamps are reduced to epoch microseconds (bigint) so the
+order-insensitive value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+STOP_EN = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"]
+STOP_DE = ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"]
+STOP_FR = ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _priority_expr():
+    # event_type → crawl priority class (FIXTURES.md §B mapping)
+    return (
+        F.when(F.col("event_type").isin("error", "purchase"), 0)
+        .when(F.col("event_type").isin("signup", "view"), 1)
+        .otherwise(2)
+        .cast("int")
+    )
+
+
+_PRIORITY_SQL = (
+    "CASE WHEN event_type IN ('error','purchase') THEN 0 "
+    "WHEN event_type IN ('signup','view') THEN 1 ELSE 2 END"
+)
+
+
+def _hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+
+
+def _stop_hits(col, words):
+    arr = F.array(*[F.lit(s) for s in words])
+    return F.size(F.filter(_tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def _stop_hits_sql(words) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKENS_SQL}, t -> list_contains([{lst}], t)))"
+
+
+# ===========================================================================
+# entry — flagship: one full frontier wave over the events stand-in table
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Wave selection end-to-end on sf0.001: priority classes + FIFO windows,
+    per-host (user) politeness top-k, dedup anti-join vs 'already seen', and
+    global budget — the SURVEY.md §3.4 pipeline stages 1-4 over driver data."""
+    ev = _t(spark, SF_DEFAULT, "events").withColumn("priority", _priority_expr())
+    # "seen": the earliest event per (user, props) key is already crawled
+    w_seen = Window.partitionBy("user_id", "props").orderBy("ts", "event_id")
+    seen = (
+        ev.withColumn("rn", F.row_number().over(w_seen))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_id").alias("seen_id"))
+    )
+    fresh = ev.join(seen, ev.event_id == seen.seen_id, "left_anti")
+    w_host = Window.partitionBy("user_id").orderBy("priority", "ts", "event_id")
+    polite = fresh.withColumn("host_rank", F.row_number().over(w_host)).filter(
+        F.col("host_rank") <= 8
+    )
+    return (
+        polite.orderBy("priority", "ts", "event_id")
+        .limit(200)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "priority",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "host_rank",
+        )
+    )
+
+
+# ===========================================================================
+# queries + oracles
+# ===========================================================================
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- frontier / scheduling semantics (SURVEY.md §2.1 F-1..F-18) ------
+    def fifo_within_priority(spark, sf):
+        # F-2: FIFO within a priority channel (memory.go:29-69)
+        ev = _t(spark, sf, "events").withColumn("priority", _priority_expr())
+        w = Window.partitionBy("priority").orderBy("ts", "event_id")
+        return ev.select(
+            "event_id", "priority", F.row_number().over(w).cast("long").alias("fifo_rank")
+        )
+
+    q["fifo_within_priority"] = fifo_within_priority
+
+    def priority_dequeue_topk(spark, sf):
+        # F-2: strict-priority global dequeue under a budget (TakeOrdered plan)
+        ev = _t(spark, sf, "events").withColumn("priority", _priority_expr())
+        return (
+            ev.orderBy("priority", "ts", "event_id")
+            .limit(500)
+            .select("event_id", "priority", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        )
+
+    q["priority_dequeue_topk"] = priority_dequeue_topk
+
+    def dedup_first_per_key(spark, sf):
+        # C-2 analog: first fetch wins per dedup key
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id", "props").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "props", F.col("event_id").alias("first_event"))
+        )
+
+    q["dedup_first_per_key"] = dedup_first_per_key
+
+    def politeness_topk(spark, sf):
+        # per-host budget window (engine stage 3)
+        ev = _t(spark, sf, "events").withColumn("priority", _priority_expr())
+        w = Window.partitionBy("user_id").orderBy("priority", "ts", "event_id")
+        return (
+            ev.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+            .select("user_id", "event_id", "rk")
+        )
+
+    q["politeness_topk"] = politeness_topk
+
+    def backoff_eligibility(spark, sf):
+        # F-14: virtual-time backoff arithmetic (scrapemate.go:398-453)
+        ev = _t(spark, sf, "events")
+        retry = (F.col("event_id") % 5 + 1).cast("int")
+        delay = F.least(
+            F.lit(100000) * F.pow(F.lit(2.0), retry - 1), F.lit(2000000.0)
+        ).cast("long")
+        wave_ts = ev.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).collect()[0][0]
+        return ev.select(
+            "event_id",
+            retry.alias("retry"),
+            delay.alias("delay_us"),
+            ((F.unix_micros(F.col("ts").cast("timestamp")) + delay) <= F.lit(wave_ts - 86400000000)).alias("eligible"),
+        )
+
+    q["backoff_eligibility"] = backoff_eligibility
+
+    def retry_cap_clamp(spark, sf):
+        # F-15: attempts = 1 + max(0, min(max_retries, 5)) (scrapemate.go:455-464)
+        ev = _t(spark, sf, "events")
+        mr = (F.col("event_id") % 9 - 1).cast("int")
+        eff = F.greatest(F.lit(0), F.least(mr, F.lit(5)))
+        return ev.select(
+            "event_id", mr.alias("max_retries"), (eff + 1).cast("int").alias("attempts")
+        )
+
+    q["retry_cap_clamp"] = retry_cap_clamp
+
+    def cache_key_md5(spark, sf):
+        # C-1: md5(method:url) cache key (job.go:117-130)
+        d = _t(spark, sf, "documents")
+        url = F.concat(F.lit("http://"), F.col("source"), F.lit("/doc/"), F.col("doc_id"))
+        return d.select(
+            "doc_id", F.md5(F.concat(F.lit("GET:"), url)).alias("cache_key")
+        )
+
+    q["cache_key_md5"] = cache_key_md5
+
+    def host_bucket_salted(spark, sf):
+        # salted host bucketing (md5-portable twin of the xxhash64 bucket)
+        d = _t(spark, sf, "documents")
+        b = F.pmod(_hash60(F.concat(F.lit("42|"), F.col("source"))), F.lit(64)).cast("int")
+        return d.select("source", b.alias("bucket")).distinct()
+
+    q["host_bucket_salted"] = host_bucket_salted
+
+    def proxy_round_robin(spark, sf):
+        # F-18: Next() = atomic counter % len(proxies) (adapters/proxy/proxy.go:54-60)
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id", (F.col("event_id") % 7).cast("int").alias("proxy_id")
+        )
+
+    q["proxy_round_robin"] = proxy_round_robin
+
+    def metrics_rollup(spark, sf):
+        # M-1/M-2: per-wave metrics rollup
+        ev = _t(spark, sf, "events").withColumn("priority", _priority_expr())
+        return (
+            ev.rollup("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.max("priority").alias("max_priority"),
+            )
+        )
+
+    q["metrics_rollup"] = metrics_rollup
+
+    def sessionize_lag(spark, sf):
+        # window-analytic coverage: lag + gap-based session counting
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        new_s = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+        return (
+            ev.withColumn("new_s", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+        )
+
+    q["sessionize_lag"] = sessionize_lag
+
+    # ---- join/agg plumbing over the TPC-H-ish star ------------------------
+    def q1_lineitem_agg(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q1_lineitem_agg"] = q1_lineitem_agg
+
+    def broadcast_join_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q["broadcast_join_revenue"] = broadcast_join_revenue
+
+    def topk_suppliers_per_nation(spark, sf):
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        return (
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+            .select("n_name", "s_name", F.round("s_acctbal", 4).alias("acctbal"), "rk")
+        )
+
+    q["topk_suppliers_per_nation"] = topk_suppliers_per_nation
+
+    def semi_anti_join_orders(spark, sf):
+        # left-semi + left-anti coverage: customers with/without orders
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+        with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+            "c_custkey", F.lit("has_big_order").alias("cls")
+        )
+        without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+            "c_custkey", F.lit("no_big_order").alias("cls")
+        )
+        return with_o.unionByName(without)
+
+    q["semi_anti_join_orders"] = semi_anti_join_orders
+
+    # ---- text analysis over documents -------------------------------------
+    def token_count(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+
+    q["token_count"] = token_count
+
+    def punct_quality(spark, sf):
+        d = _t(spark, sf, "documents")
+        t = F.col("text")
+        n = F.length(t)
+        stripped = F.length(F.regexp_replace(t, r"[.,!?;:'\"()\-]", ""))
+        pr = F.when(n > 0, (n - stripped).cast("double") / n).otherwise(F.lit(0.0))
+        n_tok = F.size(_tokens(t))
+        stop_r = _stop_hits(t, STOP_EN).cast("double") / F.greatest(n_tok, F.lit(1))
+        score = (
+            F.when((n_tok >= 5), F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.least(stop_r * 4.0, F.lit(0.4))
+            + F.greatest(F.lit(0.0), F.lit(0.2) - pr)
+        )
+        return d.select(
+            "doc_id",
+            F.round(pr, 6).alias("punct_ratio"),
+            F.round(score, 6).alias("quality"),
+        )
+
+    q["punct_quality"] = punct_quality
+
+    def lang_id_heuristic(spark, sf):
+        d = _t(spark, sf, "documents")
+        t = F.col("text")
+        en, de, fr = (_stop_hits(t, s) for s in (STOP_EN, STOP_DE, STOP_FR))
+        pred = (
+            F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+            .when((de >= fr) & (de > 0), F.lit("de"))
+            .when(fr > 0, F.lit("fr"))
+            .otherwise(F.lit("und"))
+        )
+        return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+    q["lang_id_heuristic"] = lang_id_heuristic
+
+    def doc_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        fp = _hash60(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+        return d.select("doc_id", fp.alias("fingerprint"))
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    # ---- dedup family ------------------------------------------------------
+    def dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        fp = _hash60(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+        keyed = d.select("doc_id", fp.alias("fingerprint"))
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        return (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .withColumn("dup_count", F.count("*").over(Window.partitionBy("fingerprint")))
+            .filter(F.col("rn") == 1)
+            .select(F.col("doc_id").alias("keeper"), "fingerprint", "dup_count")
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_signatures(spark, sf):
+        from crawlspark.datapipe.dedup import minhash_signatures as mh
+        from crawlspark.datapipe.dedup import shingles
+
+        d = _t(spark, sf, "documents")
+        return mh(shingles(d, "text", "doc_id", 3), k=8).select("doc_id", "perm", "minh")
+
+    q["minhash_signatures"] = minhash_signatures
+
+    def simhash_16bit(spark, sf):
+        from crawlspark.datapipe.dedup import simhash16
+
+        return simhash16(_t(spark, sf, "documents")).select("doc_id", "simhash")
+
+    q["simhash_16bit"] = simhash_16bit
+
+    def ngram_jaccard_pairs(spark, sf):
+        from crawlspark.datapipe.dedup import ngram_jaccard_pairs as nj
+
+        return nj(_t(spark, sf, "documents"), min_jaccard=0.5)
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
+
+    def minhash_lsh_candidates(spark, sf):
+        # rows-only: banded LSH candidate pairs (bucket strings are md5 of
+        # ordered signatures — same algorithm, join-bounded)
+        from crawlspark.datapipe.dedup import lsh_candidate_pairs
+
+        d = _t(spark, sf, "documents")
+        return lsh_candidate_pairs(d, k=8, bands=4).select(
+            "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+
+    q["minhash_lsh_candidates"] = minhash_lsh_candidates
+
+    # ---- similarity search over embeddings ---------------------------------
+    def cosine_topk_bruteforce(spark, sf):
+        from crawlspark.datapipe.similarity import cosine_topk
+
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        return cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+    q["cosine_topk_bruteforce"] = cosine_topk_bruteforce
+
+    def embedding_neardup(spark, sf):
+        from crawlspark.datapipe.dedup import embedding_neardup_pairs
+
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        return embedding_neardup_pairs(e.filter(F.col("vec_id") < 200), threshold=0.9)
+
+    q["embedding_neardup"] = embedding_neardup
+
+    def lsh_bucket_similarity(spark, sf):
+        # rows-only: sign-bit LSH bucketed exact-cosine pairs (the O(n) path)
+        from crawlspark.datapipe.similarity import lsh_bucket_neighbors
+
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        return lsh_bucket_neighbors(e.filter(F.col("vec_id") < 300), n_bits=6, dim=64)
+
+    q["lsh_bucket_similarity"] = lsh_bucket_similarity
+
+    # ---- crawl engine end-to-end (non-SQL-expressible: rows-only) ----------
+    def crawl_bsp_end_to_end(spark, sf):
+        from crawlspark import synth
+        from crawlspark.engine import CrawlConfig, CrawlEngine
+
+        world = synth.make_world(n_hosts=4, total_pages=60)
+        eng = CrawlEngine(
+            spark,
+            pages=synth.pages_df(spark, world),
+            robots=synth.robots_df(spark, world),
+            budgets=synth.politeness_df(spark, world),
+            images=None,
+            config=CrawlConfig(validate_images=False, wave_budget=30, use_bloom=False),
+        )
+        run = eng.run(synth.seeds_df(spark, world))
+        return run.order
+
+    q["crawl_bsp_end_to_end"] = crawl_bsp_end_to_end
+
+    def image_decode_validate(spark, sf):
+        # rows-only: numpy-codec decode + PSNR/phash over the payload table
+        from crawlspark import synth
+        from crawlspark.datapipe.multimodal import image_features
+
+        world = synth.make_world(n_hosts=4, total_pages=60)
+        return image_features(synth.images_df(spark, world)).select(
+            "image_id", "w", "h", "fmt", "phash", "decode_ok"
+        )
+
+    q["image_decode_validate"] = image_decode_validate
+
+    def phash_near_dup(spark, sf):
+        # rows-only: perceptual-hash hamming pairs via 16-bit banding
+        from crawlspark import synth
+        from crawlspark.datapipe.multimodal import image_features, phash_hamming_pairs
+
+        world = synth.make_world(n_hosts=4, total_pages=60)
+        feats = image_features(synth.images_df(spark, world))
+        return phash_hamming_pairs(feats, max_dist=20)
+
+    q["phash_near_dup"] = phash_near_dup
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["fifo_within_priority"] = f"""
+        SELECT event_id, {_PRIORITY_SQL} AS priority,
+               ROW_NUMBER() OVER (PARTITION BY {_PRIORITY_SQL} ORDER BY ts, event_id) AS fifo_rank
+        FROM events
     """
-    return {}
+
+    o["priority_dequeue_topk"] = f"""
+        SELECT event_id, {_PRIORITY_SQL} AS priority, epoch_us(ts) AS ts_us
+        FROM events
+        ORDER BY {_PRIORITY_SQL}, ts, event_id
+        LIMIT 500
+    """
+
+    o["dedup_first_per_key"] = """
+        SELECT user_id, props, event_id AS first_event
+        FROM (SELECT user_id, props, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, props ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    """
+
+    o["politeness_topk"] = f"""
+        SELECT user_id, event_id, rk FROM (
+          SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {_PRIORITY_SQL}, ts, event_id) AS rk
+          FROM events)
+        WHERE rk <= 3
+    """
+
+    o["backoff_eligibility"] = """
+        WITH w AS (SELECT max(epoch_us(ts)) AS wave_ts FROM events)
+        SELECT event_id,
+               CAST(event_id % 5 + 1 AS INT) AS retry,
+               CAST(least(100000 * power(2, event_id % 5), 2000000) AS BIGINT) AS delay_us,
+               (epoch_us(ts) + CAST(least(100000 * power(2, event_id % 5), 2000000) AS BIGINT))
+                 <= (SELECT wave_ts - 86400000000 FROM w) AS eligible
+        FROM events
+    """
+
+    o["retry_cap_clamp"] = """
+        SELECT event_id, CAST(event_id % 9 - 1 AS INT) AS max_retries,
+               CAST(greatest(0, least(event_id % 9 - 1, 5)) + 1 AS INT) AS attempts
+        FROM events
+    """
+
+    o["cache_key_md5"] = """
+        SELECT doc_id, md5('GET:' || 'http://' || source || '/doc/' || doc_id) AS cache_key
+        FROM documents
+    """
+
+    o["host_bucket_salted"] = f"""
+        SELECT DISTINCT source,
+               CAST({_hash60_sql("'42|' || source")} % 64 AS INT) AS bucket
+        FROM documents
+    """
+
+    o["proxy_round_robin"] = """
+        SELECT event_id, CAST(event_id % 7 AS INT) AS proxy_id FROM events
+    """
+
+    o["metrics_rollup"] = f"""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+               max({_PRIORITY_SQL}) AS max_priority
+        FROM events GROUP BY ROLLUP (event_type)
+    """
+
+    o["sessionize_lag"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM events)
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id
+    """
+
+    o["q1_lineitem_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["broadcast_join_revenue"] = """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """
+
+    o["topk_suppliers_per_nation"] = """
+        SELECT n_name, s_name, round(s_acctbal, 4) AS acctbal, rk FROM (
+          SELECT n_name, s_name, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        WHERE rk <= 3
+    """
+
+    o["semi_anti_join_orders"] = """
+        SELECT c_custkey, 'has_big_order' AS cls FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        UNION ALL
+        SELECT c_custkey, 'no_big_order' AS cls FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """
+
+    o["token_count"] = f"""
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    """
+
+    o["punct_quality"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 length(text) AS n,
+                 length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')) AS np,
+                 len({_TOKENS_SQL}) AS n_tok,
+                 {_stop_hits_sql(STOP_EN)} AS hits
+          FROM documents)
+        SELECT doc_id,
+               round(CASE WHEN n > 0 THEN CAST(np AS DOUBLE) / n ELSE 0.0 END, 6) AS punct_ratio,
+               round(
+                 (CASE WHEN n_tok >= 5 THEN 0.4 ELSE 0.0 END)
+                 + least(CAST(hits AS DOUBLE) / greatest(n_tok, 1) * 4.0, 0.4)
+                 + greatest(0.0, 0.2 - (CASE WHEN n > 0 THEN CAST(np AS DOUBLE) / n ELSE 0.0 END)), 6) AS quality
+        FROM b
+    """
+
+    o["lang_id_heuristic"] = f"""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 {_stop_hits_sql(STOP_EN)} AS en,
+                 {_stop_hits_sql(STOP_DE)} AS de,
+                 {_stop_hits_sql(STOP_FR)} AS fr
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                    WHEN de >= fr AND de > 0 THEN 'de'
+                    WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+        FROM h
+    """
+
+    _FP_SQL = _hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+
+    o["doc_fingerprint"] = f"""
+        SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents
+    """
+
+    o["dedup_exact"] = f"""
+        WITH k AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents)
+        SELECT doc_id AS keeper, fingerprint, dup_count FROM (
+          SELECT doc_id, fingerprint,
+                 ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY fingerprint) AS dup_count
+          FROM k)
+        WHERE rn = 1
+    """
+
+    _SHINGLES_SQL = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS l FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, greatest(len(l) - 2, 1)),
+                          i -> array_to_string(l[i+1:i+3], ' '))) AS shingle
+            FROM toks)
+          WHERE length(shingle) > 0)
+    """
+
+    o["minhash_signatures"] = f"""
+        {_SHINGLES_SQL}
+        SELECT doc_id, CAST(perm AS INT) AS perm,
+               min({_hash60_sql("perm || '|' || shingle")}) AS minh
+        FROM sh, (SELECT unnest(range(0, 8)) AS perm)
+        GROUP BY doc_id, perm
+    """
+
+    o["simhash_16bit"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+        h AS (SELECT doc_id, {_hash60_sql("tok")} AS hv FROM toks),
+        bits AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, (SELECT unnest(range(0, 16)) AS bit)
+          GROUP BY doc_id, bit)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """
+
+    o["ngram_jaccard_pairs"] = f"""
+        {_SHINGLES_SQL},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    """
+
+    o["cosine_topk_bruteforce"] = """
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM v q, v c
+          WHERE q.vec_id < 8 AND q.vec_id != c.vec_id)
+        SELECT query_id, nbr_id, round(cos, 6) AS cosine, CAST(rk AS INT) AS rk FROM (
+          SELECT query_id, nbr_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rk
+          FROM scored)
+        WHERE rk <= 5
+    """
+
+    o["embedding_neardup"] = """
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings WHERE vec_id < 200)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+    """
+
+    return o

@@ -1,0 +1,192 @@
+"""Deduplication operators for a crawl corpus: exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding near-dup.
+
+All candidate generation is shuffle-bounded by design:
+  * exact — one hash-groupBy (map-side partial agg for free);
+  * MinHash-LSH — signatures are narrow (k small ints per doc); the only join
+    is the band-bucket self-join, whose fan-out is the candidate set itself;
+  * SimHash — banding on 16-bit halves bounds the self-join the same way;
+  * n-gram Jaccard — reserved for verifying candidates (quadratic only within
+    shared-shingle groups), not for all-pairs.
+At 100 TB none of these materialize a doc×doc cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark.datapipe.text import content_fingerprint, hash60, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint."""
+    keyed = df.withColumn("fingerprint", content_fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("fingerprint")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (the unit for Jaccard/MinHash)."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
+    """k-permutation MinHash via seeded md5-derived 60-bit hashes (portable to
+    the DuckDB oracle). One groupBy; signature = array of k mins."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm"),
+        "shingle",
+    ).withColumn("h", hash60(F.concat_ws("|", F.col("perm"), F.col("shingle"))))
+    return seeded.groupBy("doc_id", "perm").agg(F.min("h").alias("minh"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: banded signature buckets → self-join.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b; est_jaccard =
+    fraction of matching minhash permutations. Rows with any shared band
+    bucket become candidates (classic r-rows-per-band banding).
+    """
+    sig = minhash_signatures(shingles(df, text_col, id_col, ngram), k)
+    rows_per_band = k // bands
+    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    band_key = banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("perm"), F.col("minh")))
+                    ),
+                    lambda s: s.getField("minh").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bucket")
+    )
+    a = band_key.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minh").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minh").alias("hb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)) / F.lit(k))
+            .alias("est_jaccard")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over docs that share ≥1 shingle (the verify stage
+    behind LSH candidates — never all-pairs)."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash (SQL-portable; the 64-bit variant is the same plan with
+    a longer bit sequence). Per token: md5-derived hash; per bit: ±1 vote."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        "h",
+    ).withColumn(
+        # shiftright with a *column* shift amount needs the SQL form
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above `threshold`.
+
+    Scale path: bucket by a cheap LSH sign-bit key first so the self-join is
+    per-bucket (see similarity.lsh_bucket); this exact variant is the oracle-
+    checkable baseline over modest partitions.
+    """
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("n"))
+    a = v.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images are REAL here (numpy codecs from crawlspark.image — no Pillow needed);
+audio/video decode is stubbed behind NotImplementedError with the Spark-side
+plumbing (schema, batching, partitioning) fully in place, per the sandbox
+constraint that no media libraries ship in the image.
+
+Batch-shape notes for 100 TB: binary rows are big → mapInPandas (iterator of
+Arrow batches) with a small maxRecordsPerBatch, and payload columns are joined
+in ONLY for the stage that needs pixels (engine keeps bytes out of earlier
+shuffles — SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawlspark import image as IMG
+
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, fmt string, mean_lum double, "
+    "contrast double, phash long, decode_ok boolean"
+)
+
+THUMB_SCHEMA = "image_id string, thumb binary, tw int, th int"
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode → per-image luminance stats + phash, via iterator-of-batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, raw, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = IMG.DECODERS[fmt](bytes(raw))
+                    lum = px.mean(axis=2)
+                    rows.append(
+                        (iid, px.shape[1], px.shape[0], fmt, float(lum.mean()),
+                         float(lum.std()), IMG.average_hash(px), True)
+                    )
+                except Exception:
+                    rows.append((iid, None, None, fmt, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "w", "h", "fmt", "mean_lum", "contrast", "phash", "decode_ok"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def image_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
+    """Block-mean resize to size×size, re-encoded as PPM — the vectorized
+    'resize' stage of a multimodal pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, raw, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = IMG.DECODERS[fmt](bytes(raw))
+                    h, w, _ = px.shape
+                    bh, bw = max(h // size, 1), max(w // size, 1)
+                    small = (
+                        px[: bh * size, : bw * size]
+                        .reshape(size, bh, size, bw, 3)
+                        .mean(axis=(1, 3))
+                        .astype(np.uint8)
+                    )
+                    rows.append((iid, IMG.encode_ppm(small), size, size))
+                except Exception:
+                    rows.append((iid, None, None, None))
+            yield pd.DataFrame(rows, columns=["image_id", "thumb", "tw", "th"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, THUMB_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = "clip_id string, duration_s double, rms double, decode_ok boolean"
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """Audio decode is STUBBED (no codec libs in this image): the Spark-side
+    plumbing (schema, batching) is real; the decode raises so a misconfigured
+    pipeline fails loudly instead of producing silent garbage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _pdf in batches:
+            raise NotImplementedError(
+                "audio decode requires a codec library not present in this "
+                "environment; wire a decoder into datapipe.multimodal.audio_features"
+            )
+        yield  # pragma: no cover — keeps this a generator
+
+    return clips.select("clip_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def video_frame_sample(clips: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling is STUBBED (same rationale as audio)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _pdf in batches:
+            raise NotImplementedError(
+                "video decode requires a codec library not present in this "
+                "environment; wire a decoder into datapipe.multimodal.video_frame_sample"
+            )
+        yield  # pragma: no cover
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        run, "clip_id string, frame_no int, frame binary"
+    )
+
+
+def phash_hamming_pairs(feat: DataFrame, max_dist: int = 8) -> DataFrame:
+    """Near-duplicate images by perceptual-hash Hamming distance.
+
+    Banding on the 4 16-bit phash quarters bounds the self-join (two hashes
+    within distance ≤ max_dist < 16 must share at least one exact quarter by
+    pigeonhole when max_dist < 4 quarters) — same LSH-shaped trick as minhash.
+    """
+    q = feat.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("quarter"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bq"),
+    ).select("image_id", "phash", F.col("bq.band").alias("band"), F.col("bq.quarter").alias("quarter"))
+    a = q.select(F.col("image_id").alias("img_a"), F.col("phash").alias("pa"), "band", "quarter")
+    b = q.select(F.col("image_id").alias("img_b"), F.col("phash").alias("pb"), "band", "quarter")
+    return (
+        a.join(b, ["band", "quarter"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", "pa", "pb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+        .filter(F.col("hamming") <= max_dist)
+        .select("img_a", "img_b", F.col("hamming").cast("int").alias("hamming"))
+    )

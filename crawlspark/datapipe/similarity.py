@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, oracle-checkable, and the right
+answer for a broadcast-able query set (queries × corpus is a broadcast
+nested-loop the optimizer handles; corpus never self-joins).
+
+Scale path: sign-bit LSH bucketing — each vector gets a b-bit signature from
+deterministic md5-derived hyperplanes; candidates only join within a bucket,
+so the shuffle is O(corpus), not O(corpus²). An IVF variant would swap the
+hyperplanes for k-means centroids; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark.datapipe.text import hash60
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query ≠ neighbor).
+
+    queries is expected small → broadcast; the per-query top-k is a window
+    over the joined frame (partition count = n_queries, each bounded by
+    corpus size — for huge corpora switch to per-partition top-k + re-rank,
+    same two-phase trick as politeness.per_host_topk).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def lsh_signature(vec, n_bits: int = 8, dim: int = 16):
+    """b-bit sign signature: bit i = sign(v · h_i) where hyperplane h_i has
+    deterministic ±1 components from md5(i|j) — reproducible anywhere."""
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j, i=i: F.when(
+                F.pmod(hash60(F.concat_ws("|", F.lit(i), j.cast("string"))), F.lit(2)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, comps, lambda x, h: x * h), F.lit(0.0), lambda a, x: a + x
+        )
+        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucket_neighbors(
+    corpus: DataFrame,
+    n_bits: int = 8,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed candidate pairs with exact cosine, computed only inside
+    buckets — the O(n) shuffle scale path for all-pairs similarity."""
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    a = sig.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = sig.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .select("vec_a", "vec_b", "bucket", F.round("cosine", 6).alias("cosine"))
+    )

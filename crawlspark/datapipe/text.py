@@ -1,0 +1,129 @@
+"""Text analysis: token stats, quality scoring, language ID, fingerprinting.
+
+Every function here is a pure Catalyst expression (SQL-portable so the DuckDB
+oracle can pin it); the only UDF is the 64-bit rolling-shingle fingerprint
+(numpy, rows-only checked).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# small, fixed stopword sets — deterministic lang-ID heuristic shared with the
+# DuckDB oracle (keep in sync with oracle SQL in __spark_entry__.py)
+STOP_EN = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"]
+STOP_DE = ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"]
+STOP_FR = ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"]
+
+PUNCT_CLASS = r"[.,!?;:'\"()\-]"  # explicit class — identical regex in DuckDB
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n > 0, (n - stripped).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality ∈ [0,1]: length band + stopword presence − punct excess.
+
+    (The classic pre-training text filters: C4-style length/stopword/punct
+    gates, expressed as one score so thresholding is a filter.)
+    """
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_r = stopword_hits(text, STOP_EN).cast("double") / F.greatest(n_tok, F.lit(1))
+    stop_part = F.least(stop_r * F.lit(4.0), F.lit(0.4))
+    punct_part = F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio(text))
+    return F.round(len_ok + stop_part + punct_part, 6)
+
+
+def lang_scores(text: Column):
+    en = stopword_hits(text, STOP_EN)
+    de = stopword_hits(text, STOP_DE)
+    fr = stopword_hits(text, STOP_FR)
+    return en, de, fr
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over stopword-hit counts; ties break en > de > fr; no hits → und."""
+    en, de, fr = lang_scores(text)
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def hash60(col: Column) -> Column:
+    """md5-derived 60-bit bigint — portable to DuckDB
+    (('0x' || substr(md5(x),1,15))::BIGINT). Used wherever the oracle must
+    reproduce a hash; the engine's own hot-path hash stays xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Whitespace-normalized content hash (exact-dedup key)."""
+    return hash60(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("fingerprint", content_fingerprint(t))
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash shingle fingerprint (winnowing-style) — numpy, rows-only check
+# ---------------------------------------------------------------------------
+
+_B = np.uint64(1000003)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
+    """Top-8 smallest Rabin-Karp k-gram hashes per document (k=8 chars) —
+    a compact document sketch for near-dup candidate generation."""
+    out = []
+    k = 8
+    for s in text:
+        b = np.frombuffer((s or "").lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            out.append([])
+            continue
+        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        acc = np.uint64(0)
+        powk = _B ** np.uint64(k - 1)
+        for i in range(k):
+            acc = acc * _B + np.uint64(b[i])
+        h[0] = acc
+        for i in range(1, len(h)):
+            acc = (acc - np.uint64(b[i - 1]) * powk) * _B + np.uint64(b[i + k - 1])
+            h[i] = acc
+        sketch = np.unique(h)[:8].astype(np.int64)
+        out.append(sketch.tolist())
+    return pd.Series(out)
