@@ -1,0 +1,83 @@
+"""Repo benchmark — driver contract (one JSON line on stdout).
+
+Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the crawl
+BSP throughput benchmark on the deterministic synthetic frontier, and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": ..., "crawl": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "fifo_within_priority",
+    "priority_dequeue_topk",
+    "dedup_first_per_key",
+    "politeness_topk",
+    "backoff_eligibility",
+    "q1_lineitem_agg",
+    "broadcast_join_revenue",
+    "topk_suppliers_per_nation",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "simhash_16bit",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "embedding_neardup",
+    "token_count",
+    "lang_id_heuristic",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from crawlspark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(app_name="crawlspark-bench", master=f"local[{cpus}]")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    t_total0 = time.monotonic()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        # noop sink forces full computation without driver-side collect
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    from bench.run_crawl import run_crawl_bench
+
+    crawl = run_crawl_bench(
+        spark, scale="medium", wave_budget=50_000, validate_images=True, max_waves=8
+    )
+    crawl.pop("per_wave", None)
+    total = round(time.monotonic() - t_total0, 3)
+
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "crawlspark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Crawl-throughput benchmark: the BSP engine over a deterministic synthetic
+frontier (seed=42). Usable standalone or via spark-submit --py-files.
+
+Timed region is the BSP wave loop only (BASELINE.md §3); world synthesis and
+SparkSession startup are excluded. The headline metric is
+
+    urls_per_sec = (Σ scheduled + Σ new_urls + Σ deduped) / wall
+
+i.e. every URL the scheduler fetched, admitted, or rejected as a duplicate —
+the "URLs scheduled+deduped/sec" of BASELINE.json.
+
+Scales: `small` uses the Python oracle world (same fixtures as the golden
+tests); `medium`/`large`/`xlarge` use the Spark-generated world
+(synth.spark_world_tables — no driver loops, the shape a 10^10 frontier
+synthesis would take on a cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow running from anywhere (spark-submit --py-files covers the cluster case)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = {
+    # n_hosts, total_pages, n_images, n_seeds, wave_budget
+    "medium": dict(n_hosts=96, total_pages=150_000, n_images=256, n_seeds=48,
+                   host_budget=3000, hot_host_budget=1500),
+    "large": dict(n_hosts=192, total_pages=600_000, n_images=384, n_seeds=96,
+                  host_budget=6000, hot_host_budget=3000),
+    "xlarge": dict(n_hosts=256, total_pages=2_000_000, n_images=512, n_seeds=128,
+                   host_budget=12000, hot_host_budget=6000),
+}
+
+
+def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
+                    validate_images: bool = True, use_bloom: bool = True,
+                    max_waves: int = 10) -> dict:
+    from crawlspark import synth
+    from crawlspark.engine import CrawlConfig, CrawlEngine
+
+    if scale == "small":
+        world = synth.make_world(
+            n_hosts=16, total_pages=4000, n_images=128, branching=4,
+            n_seeds=12, image_sizes=(32,), host_budget=200, hot_host_budget=100,
+        )
+        pages = synth.pages_df(spark, world)
+        seeds = synth.seeds_df(spark, world)
+        robots = synth.robots_df(spark, world)
+        budgets = synth.politeness_df(spark, world)
+        images = synth.images_df(spark, world) if validate_images else None
+    else:
+        pages, seeds, robots, budgets, images = synth.spark_world_tables(
+            spark, branching=4, **SCALES[scale]
+        )
+        if not validate_images:
+            images = None
+
+    cfg = CrawlConfig(
+        wave_budget=wave_budget,
+        validate_images=validate_images,
+        use_bloom=use_bloom,
+        max_waves=max_waves,
+    )
+    eng = CrawlEngine(spark, pages, robots, budgets, images, cfg)
+    # force fixture materialization outside the timed region
+    eng.pages.count()
+    seeds.persist().count()
+
+    t0 = time.monotonic()
+    run = eng.run(seeds)
+    n_results = run.results.count()  # materialize outputs inside the timed region
+    wall = time.monotonic() - t0
+
+    sched = sum(m["scheduled"] for m in run.metrics)
+    new = sum(m["new_urls"] for m in run.metrics)
+    dedup = sum(m["deduped"] for m in run.metrics)
+    return {
+        "wall_sec": round(wall, 3),
+        "waves": run.waves,
+        "scheduled": sched,
+        "new_urls": new,
+        "deduped": dedup,
+        "results": n_results,
+        "urls_per_sec": round((sched + new + dedup) / wall, 1),
+        "scale": scale,
+        "per_wave": [
+            {k: m[k] for k in ("wave", "scheduled", "new_urls", "deduped", "wall_sec")}
+            for m in run.metrics
+        ],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--scale", default="medium")
+    ap.add_argument("--wave-budget", type=int, default=50_000)
+    ap.add_argument("--max-waves", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--no-images", action="store_true")
+    args = ap.parse_args()
+
+    from crawlspark.session import get_spark
+
+    master = f"local[{args.cpus}]" if args.cpus else None
+    spark = get_spark(app_name="crawl-bench", master=master)
+    outs = [
+        run_crawl_bench(
+            spark, args.scale, args.wave_budget,
+            validate_images=not args.no_images, max_waves=args.max_waves,
+        )
+        for _ in range(args.reps)
+    ]
+    best = sorted(outs, key=lambda o: o["wall_sec"])[len(outs) // 2]  # median
+    best["master"] = spark.sparkContext.master
+    print(json.dumps(best))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ the max-wave guard.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -58,6 +59,11 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_partitions: int = 16
     bloom_bits: int = 1 << 20
+    # bloom prefilter pays an Arrow round-trip per candidate to cut the exact
+    # anti-join's shuffle; that trade only wins once the seen set is large.
+    # Below this row count the engine joins directly (the tier is still
+    # built + checkpointed either way — membership answers don't change).
+    bloom_prefilter_min_seen: int = 2_000_000
     workdir: str | None = None  # set → durable checkpoints + resume
 
 
@@ -93,11 +99,21 @@ class CrawlEngine:
         self.io = TableIO(spark, self.cfg.workdir) if self.cfg.workdir else None
         self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self._seen_chain = 0
+        self._n_seed_allowed = 0
+        self._profile = os.environ.get("CRAWLSPARK_PROFILE") == "1"
+        self._t_last = 0.0
+        self._seen_rows = 0  # driver-side running count (no extra actions)
         self.bloom = (
             SEEN.PartitionedBloom(self.cfg.bloom_partitions, self.cfg.bloom_bits)
             if self.cfg.use_bloom
             else None
         )
+
+    def _tick(self, label: str, wave: int) -> None:
+        if self._profile:
+            now = time.monotonic()
+            print(f"[profile] wave={wave} {label}: {now - self._t_last:.2f}s", flush=True)
+            self._t_last = now
 
     # ------------------------------------------------------------------ #
     def _admit_seeds(self, seeds: DataFrame):
@@ -116,7 +132,8 @@ class CrawlEngine:
         s = s.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
         allowed, blocked = politeness.robots_gate(s, self.robots)
-        allowed = frontier.with_global_rank(allowed, ("seed_order",), "_srank")
+        allowed, n_allowed = frontier.with_global_rank(allowed, ("seed_order",), "_srank")
+        self._n_seed_allowed = n_allowed
         pending = (
             allowed.withColumn("seq", (F.col("_srank") - 1).cast("long"))
             .withColumn("parent_id", F.lit(None).cast("string"))
@@ -172,9 +189,14 @@ class CrawlEngine:
         w = Window.partitionBy("cache_key").orderBy("parent_rank", "link_pos")
         cand = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-        fresh = SEEN.dedup_against_seen(cand, seen, self.bloom).persist()
+        prefilter_bloom = (
+            self.bloom
+            if self._seen_rows >= self.cfg.bloom_prefilter_min_seen
+            else None
+        )
+        fresh = SEEN.dedup_against_seen(cand, seen, prefilter_bloom).persist()
         allowed, blocked = politeness.robots_gate(fresh, self.robots)
-        allowed = frontier.assign_child_seq(allowed, seq_base)
+        allowed, n_allowed = frontier.assign_child_seq(allowed, seq_base)
 
         admitted = (
             allowed.withColumn("retry_count", F.lit(0).cast("int"))
@@ -189,7 +211,7 @@ class CrawlEngine:
             "job_id", "url_canon", F.lit(0).cast("int").alias("attempts"),
             F.lit(C.ST_DISCARDED).alias("final_state"), F.lit(wave).cast("int").alias("wave"),
         )
-        return admitted, seen_delta, blocked_terminal, n_candidates
+        return admitted, n_allowed, seen_delta, blocked_terminal, n_candidates
 
     # ------------------------------------------------------------------ #
     def _build_results(self, done: DataFrame, wave: int) -> DataFrame:
@@ -269,6 +291,7 @@ class CrawlEngine:
                         parts.append(spark.read.parquet(self.io.wave_path(tbl, w0)))
             if self.bloom is not None and seen is not None:
                 self.bloom.add_from_df(seen)  # rebuild tier from committed seen set
+            self._seen_rows = seen.count()
         else:
             wave = 0
             stopped = False
@@ -277,7 +300,8 @@ class CrawlEngine:
             seen = self._materialize(seen_delta, "seen", 0)
             blocked_term = self._materialize(blocked_term, "terminal", 0)
             terminal_parts.append(blocked_term)
-            seq_base = pending.count()
+            seq_base = self._n_seed_allowed
+            self._seen_rows = seen.count()
             if self.bloom is not None:
                 self.bloom.add_from_df(seen)
             if self.io:
@@ -290,6 +314,7 @@ class CrawlEngine:
             wave += 1
             wave_ts = wave * cfg.wave_period_us
             wt0 = time.monotonic()
+            self._t_last = wt0
 
             eligible = pending.filter(F.col("not_before_us") <= wave_ts)
             future = pending.filter(F.col("not_before_us") > wave_ts)
@@ -297,8 +322,9 @@ class CrawlEngine:
             polite = politeness.per_host_topk(
                 eligible, self.budgets, cfg.default_host_budget, cfg.salt_buckets
             )
-            wave_sel = frontier.select_wave(polite, cfg.wave_budget).persist()
-            n_sched = wave_sel.count()
+            wave_sel, n_sched = frontier.select_wave(polite, cfg.wave_budget)
+            wave_sel = wave_sel.persist()
+            self._tick("select", wave)
             if n_sched == 0:
                 wave_sel.unpersist()
                 nxt = pending.agg(F.min("not_before_us").alias("m")).collect()[0]["m"]
@@ -321,6 +347,7 @@ class CrawlEngine:
                 r["outcome"]: r["n"]
                 for r in out.groupBy("outcome").agg(F.count("*").alias("n")).collect()
             }
+            self._tick("fetch+outcomes", wave)
             n_done = by_outcome.get("done", 0)
             n_failed = by_outcome.get("failed", 0) + by_outcome.get("stop", 0)
             n_retried = by_outcome.get("retry", 0)
@@ -341,13 +368,16 @@ class CrawlEngine:
                 F.lit(wave).cast("int").alias("wave"),
             )
 
-            admitted, seen_delta, blocked_term, n_candidates = self._expand_children(
-                done, seen, wave, wave_ts, seq_base
+            admitted, n_allowed, seen_delta, blocked_term, n_candidates = (
+                self._expand_children(done, seen, wave, wave_ts, seq_base)
             )
+            self._tick("expand", wave)
             admitted = self._materialize(admitted, "admitted", wave)
+            self._tick("mat-admitted", wave)
             seen_delta = self._materialize(seen_delta, "seen", wave)
-            n_allowed = admitted.count()
             n_new = seen_delta.count()
+            self._seen_rows += n_new
+            self._tick("mat-seen-delta", wave)
             seq_base += n_allowed
 
             retried = out.filter(F.col("outcome") == "retry").select(*PENDING_COLS)
@@ -364,6 +394,7 @@ class CrawlEngine:
                 self._n_shuffle, "host_bucket"
             ).sortWithinPartitions("priority", "seq")
             pending = self._materialize(new_pending, "pending", wave)
+            self._tick("mat-pending", wave)
             seen = seen.unionByName(seen_delta)  # both sides already materialized
             self._seen_chain += 1
             if self._seen_chain >= 8:
@@ -375,6 +406,7 @@ class CrawlEngine:
                 self._seen_chain = 0
             if self.bloom is not None:
                 self.bloom.add_from_df(seen_delta)
+            self._tick("bloom", wave)
 
             # wave outputs stay LAZY over the persisted `out`/`cand` frames in
             # memory mode (one final union at end-of-run); durable mode writes
@@ -389,6 +421,7 @@ class CrawlEngine:
             terminal_parts.append(terminal_df)
 
             n_pending_after = pending.count()
+            self._tick("count-pending", wave)
             metrics.append(
                 {
                     "wave": wave,

@@ -32,12 +32,15 @@ def normalize_priority(col):
 
 def with_global_rank(
     df: DataFrame, order_cols=ORDER_COLS, rank_col: str = "rank", n_parts: int | None = None
-) -> DataFrame:
+):
     """1-based dense global rank by `order_cols`, without a global window.
 
     Plan: repartitionByRange(order_cols) → per-partition row_number →
     + cumulative offset of preceding partitions (P-row driver aggregate,
     broadcast back). Wall-clock is one range shuffle; no single-task sort.
+
+    Returns (ranked_df, total_rows) — the total falls out of the offset
+    collect for free, so callers never need a separate count().
     """
     spark = df.sparkSession
     if n_parts is None:
@@ -55,33 +58,39 @@ def with_global_rank(
         offsets[pid] = acc
         acc += counts[pid]
     offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)], "_pid int, _off long"
     )
-    return (
+    ranked = (
         parted.join(F.broadcast(offset_df), "_pid")
         .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    return ranked, acc
 
 
-def select_wave(eligible_polite: DataFrame, wave_budget: int) -> DataFrame:
+def select_wave(eligible_polite: DataFrame, wave_budget: int):
     """Global budget: top-`wave_budget` by (priority, seq) = strict priority
     with FIFO inside each level (the nested-select semantics of memory.go:37-64).
 
     Rank first (scalably), then filter — when the budget is not binding this
     is just the rank projection. The returned frame carries `rank`, which is
     the wave's crawl-order position (used by goldens + child seq assignment).
+    Returns (wave_df, n_selected).
     """
-    ranked = with_global_rank(eligible_polite, ORDER_COLS, "rank")
-    return ranked.filter(F.col("rank") <= wave_budget)
+    ranked, total = with_global_rank(eligible_polite, ORDER_COLS, "rank")
+    return ranked.filter(F.col("rank") <= wave_budget), min(total, wave_budget)
 
 
-def assign_child_seq(children: DataFrame, seq_base: int) -> DataFrame:
+def assign_child_seq(children: DataFrame, seq_base: int):
     """Deterministic FIFO seq for newly expanded jobs: parents push children
     in completion-rank order, links in document order
     (finishJob→pushJobs, scrapemate.go:578-603; pinned by
-    scrapemate_test.go:445-534 parent-before-child ordering)."""
-    ranked = with_global_rank(children, ("parent_rank", "link_pos"), "_seqrank")
-    return ranked.withColumn(
-        "seq", (F.lit(seq_base) + F.col("_seqrank") - 1).cast("long")
-    ).drop("_seqrank")
+    scrapemate_test.go:445-534 parent-before-child ordering).
+    Returns (df, n_children)."""
+    ranked, total = with_global_rank(children, ("parent_rank", "link_pos"), "_seqrank")
+    return (
+        ranked.withColumn(
+            "seq", (F.lit(seq_base) + F.col("_seqrank") - 1).cast("long")
+        ).drop("_seqrank"),
+        total,
+    )

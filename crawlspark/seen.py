@@ -32,11 +32,18 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _probe_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """k double-hashed probe positions per key (k × n matrix)."""
-    h1 = hashes.astype(np.uint64)
-    h2 = (h1 * _GOLD) | np.uint64(1)
-    idx = np.arange(k, dtype=np.uint64).reshape(-1, 1)
-    return ((h1 + idx * h2) % np.uint64(m_bits)).astype(np.int64)
+    """k independently-mixed probe positions per key (k × n matrix).
+
+    splitmix64 finalizer per probe index — naive double hashing (h1 + i*h2)
+    degenerates into arithmetic progressions mod m and measurably inflates
+    the false-positive rate (observed 7.6% where theory says ~1e-6)."""
+    h = hashes.astype(np.uint64)
+    idx = np.arange(1, k + 1, dtype=np.uint64).reshape(-1, 1)
+    x = h + idx * _GOLD
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(m_bits)).astype(np.int64)
 
 
 class PartitionedBloom:

@@ -65,6 +65,9 @@ def make_world(
     n_seeds: int | None = None,
     seed: int = 42,
     image_sizes: tuple[int, ...] = (16, 32),
+    branching: int = 2,
+    host_budget: int = 16,
+    hot_host_budget: int = 4,
 ) -> World:
     """Build the deterministic crawl world.
 
@@ -126,7 +129,7 @@ def make_world(
                 redirect_to = _page_url(h, i + 1)
 
             links: list[str] = []
-            for child in (2 * i + 1, 2 * i + 2):
+            for child in range(branching * i + 1, branching * i + branching + 1):
                 if child < n_p:
                     links.append(_page_url(h, child))
             # cross-host edge (hot host gets extra in-links — skew by design)
@@ -212,7 +215,7 @@ def make_world(
     ]
     politeness = [
         # hot host gets a tight budget so the per-host window actually bites
-        {"host": _host_name(h), "max_per_wave": 4 if h == 0 else 16}
+        {"host": _host_name(h), "max_per_wave": hot_host_budget if h == 0 else host_budget}
         for h in range(n_hosts)
     ]
     del rng  # all decisions above are hash-derived; rng reserved for future knobs
@@ -229,6 +232,165 @@ def make_world(
 # ---------------------------------------------------------------------------
 # Spark DataFrame construction
 # ---------------------------------------------------------------------------
+
+
+def spark_pages_df(
+    spark,
+    n_hosts: int = 256,
+    total_pages: int = 1_000_000,
+    n_images: int = 512,
+    branching: int = 4,
+):
+    """Bench-scale pages table generated ENTIRELY in Spark (no driver loop).
+
+    Same shape and traffic rules as the Python world (Zipf host sizes, md5-
+    derived statuses/flakiness, n-ary within-host tree + cross-host edges +
+    hot-host skew edges + robots-gated /private links), but the generation is
+    a Catalyst expression over spark.range — this is how the 10^10-URL
+    frontier world would actually be synthesized on a cluster. Not oracle-
+    paired (golden tests use the small Python world); deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    weights = np.array([(h + 1) ** -1.2 for h in range(n_hosts)])
+    weights /= weights.sum()
+    sizes = np.maximum(1, (weights * total_pages).astype(int))
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    total = int(sizes.sum())
+
+    sizes_arr = F.array(*[F.lit(int(x)) for x in sizes])
+    starts_arr = F.array(*[F.lit(int(x)) for x in starts])
+
+    df = spark.range(total)
+    host = (F.size(F.filter(starts_arr, lambda b: b <= F.col("id"))) - 1).alias("host_no")
+    df = df.withColumn("host_no", host)
+    df = df.withColumn("i", (F.col("id") - F.element_at(starts_arr, F.col("host_no") + 1)).cast("long"))
+    df = df.withColumn("n_p", F.element_at(sizes_arr, F.col("host_no") + 1).cast("long"))
+    hostname = F.concat(F.lit("h"), F.lpad(F.col("host_no").cast("string"), 4, "0"), F.lit(".test"))
+    df = df.withColumn("url", F.concat(F.lit("http://"), hostname, F.lit("/p/"), F.col("i")))
+    df = df.withColumn("hv", F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long"))
+    r = F.pmod(F.col("hv"), F.lit(100))
+    df = df.withColumn(
+        "status",
+        F.when(r < 4, 404).when(r < 9, F.when(r < 7, 200).otherwise(500)).otherwise(200).cast("int"),
+    ).withColumn(
+        "flaky_attempts",
+        F.when((r >= 4) & (r < 7), (F.lit(1) + F.pmod(F.shiftright(F.col("hv"), 8), F.lit(2)))).otherwise(0).cast("int"),
+    )
+
+    tree = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(branching)),
+            lambda k: F.when(
+                F.lit(branching) * F.col("i") + k < F.col("n_p"),
+                F.concat(F.lit("http://"), hostname, F.lit("/p/"), F.lit(branching) * F.col("i") + k),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    cross_host_no = F.pmod(F.col("host_no") + F.col("i"), F.lit(n_hosts)).cast("int")
+    cross_idx = F.pmod(F.col("i"), F.greatest(F.element_at(sizes_arr, (cross_host_no + F.lit(1)).cast("int")).cast("long"), F.lit(1)))
+    cross = F.when(
+        F.pmod(F.col("i"), F.lit(3)) == 0,
+        F.array(
+            F.concat(
+                F.lit("http://h"), F.lpad(cross_host_no.cast("string"), 4, "0"),
+                F.lit(".test/p/"), cross_idx,
+            )
+        ),
+    ).otherwise(F.array())
+    hot_idx = F.pmod(F.col("i"), F.lit(int(sizes[0])))
+    hot = F.when(
+        F.pmod(F.col("i"), F.lit(5)) == 0,
+        F.array(F.concat(F.lit("http://h0000.test/p/"), hot_idx)),
+    ).otherwise(F.array())
+    private = F.when(
+        F.pmod(F.col("i"), F.lit(6)) == 0,
+        F.array(F.concat(F.lit("http://"), hostname, F.lit("/private/"), F.col("i"))),
+    ).otherwise(F.array())
+    df = df.withColumn("out_links", F.concat(tree, cross, hot, private))
+
+    img = F.concat(F.lit("img"), F.lpad(F.pmod(F.col("hv"), F.lit(n_images)).cast("string"), 8, "0"))
+    df = df.withColumn(
+        "body_image_id",
+        F.when((F.col("status") == 200) | (F.col("flaky_attempts") > 0), img),
+    )
+    return df.select(
+        F.xxhash64("url").alias("url_hash"),
+        "url",
+        "status",
+        "flaky_attempts",
+        "body_image_id",
+        "out_links",
+        F.lit(None).cast("string").alias("redirect_to"),
+        (F.lit(1000) + F.pmod(F.col("hv"), F.lit(49000))).cast("long").alias("latency_us"),
+    )
+
+
+def spark_world_tables(
+    spark,
+    n_hosts: int = 256,
+    total_pages: int = 1_000_000,
+    n_images: int = 512,
+    branching: int = 4,
+    n_seeds: int = 64,
+    host_budget: int = 4000,
+    hot_host_budget: int = 2000,
+    image_sizes: tuple[int, ...] = (64,),
+):
+    """Full bench-scale table set: Spark-generated pages + small python-side
+    seeds/robots/budgets/images (those are inherently small)."""
+    pages = spark_pages_df(spark, n_hosts, total_pages, n_images, branching)
+    seeds = [
+        {
+            "job_id": f"seed{k:04d}",
+            "url": _page_url(k % n_hosts, 0),
+            "method": "GET",
+            "body": None,
+            "headers": {},
+            "url_params": {},
+            "priority": k % 3,
+            "max_retries": 2,
+            "retry_policy": C.RETRY_JOB,
+            "max_retry_delay_us": C.DEFAULT_MAX_RETRY_DELAY_US,
+            "seed_order": k,
+        }
+        for k in range(n_seeds)
+    ]
+    seeds_sdf = spark.createDataFrame(pd.DataFrame(seeds), schema=S.SEEDS_SCHEMA)
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"host": _host_name(h), "disallow_prefixes": ["/private"] if h % 2 == 0 else [],
+                 "crawl_delay_us": None}
+                for h in range(n_hosts)
+            ]
+        ),
+        schema=S.ROBOTS_SCHEMA,
+    )
+    budgets = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"host": _host_name(h), "max_per_wave": hot_host_budget if h == 0 else host_budget}
+                for h in range(n_hosts)
+            ]
+        ),
+        schema=S.POLITENESS_SCHEMA,
+    )
+    images = []
+    for i in range(n_images):
+        iid = f"img{i:08d}"
+        w = int(image_sizes[i % len(image_sizes)])
+        hgt = int(image_sizes[(i // len(image_sizes)) % len(image_sizes)])
+        fmt = FMT_CYCLE[i % len(FMT_CYCLE)]
+        px = IMG.reference_pixels(iid, w, hgt)
+        data = IMG.ENCODERS[fmt](px)
+        images.append(
+            {"image_id": iid, "bytes": data, "w": w, "h": hgt, "fmt": fmt,
+             "caption": f"caption for {iid}", "phash": IMG.average_hash(IMG.DECODERS[fmt](data))}
+        )
+    images_sdf = spark.createDataFrame(pd.DataFrame(images), schema=S.IMAGES_SCHEMA)
+    return pages, seeds_sdf, robots, budgets, images_sdf
 
 
 def images_df(spark, world: World):
