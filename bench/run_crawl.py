@@ -32,14 +32,19 @@ SCALES = {
                    host_budget=3000, hot_host_budget=1500),
     "large": dict(n_hosts=192, total_pages=600_000, n_images=384, n_seeds=96,
                   host_budget=6000, hot_host_budget=3000),
-    "xlarge": dict(n_hosts=256, total_pages=2_000_000, n_images=512, n_seeds=128,
+    "xlarge": dict(n_hosts=256, total_pages=2_000_000, n_images=512, n_seeds=2000,
                    host_budget=12000, hot_host_budget=6000),
+    # wide seeding → discovery saturates the wave budget within ~3 waves, so
+    # the run measures steady-state scheduling + payload work, not ramp-up
+    "xwide": dict(n_hosts=256, total_pages=2_000_000, n_images=512, n_seeds=20_000,
+                  host_budget=12000, hot_host_budget=6000),
 }
 
 
 def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
                     validate_images: bool = True, use_bloom: bool = True,
-                    max_waves: int = 10) -> dict:
+                    max_waves: int = 10, image_px: int = 64,
+                    payload: str = "synthetic") -> dict:
     from crawlspark import synth
     from crawlspark.engine import CrawlConfig, CrawlEngine
 
@@ -55,9 +60,10 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
         images = synth.images_df(spark, world) if validate_images else None
     else:
         pages, seeds, robots, budgets, images = synth.spark_world_tables(
-            spark, branching=4, **SCALES[scale]
+            spark, branching=4, image_sizes=(image_px if payload == "table" else 16,),
+            unique_images=(payload == "synthetic"), **SCALES[scale]
         )
-        if not validate_images:
+        if not validate_images or payload == "synthetic":
             images = None
 
     cfg = CrawlConfig(
@@ -65,6 +71,8 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
         validate_images=validate_images,
         use_bloom=use_bloom,
         max_waves=max_waves,
+        payload_mode=payload if scale != "small" else "table",
+        payload_px=image_px,
     )
     eng = CrawlEngine(spark, pages, robots, budgets, images, cfg)
     # force fixture materialization outside the timed region
@@ -73,7 +81,11 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
 
     t0 = time.monotonic()
     run = eng.run(seeds)
-    n_results = run.results.count()  # materialize outputs inside the timed region
+    # noop sink: forces FULL result materialization including the image
+    # validation UDF columns (a bare count() would let Catalyst prune the
+    # validation away — measured once, embarrassingly)
+    run.results.write.format("noop").mode("overwrite").save()
+    n_results = run.results.count()
     wall = time.monotonic() - t0
 
     sched = sum(m["scheduled"] for m in run.metrics)
@@ -103,16 +115,21 @@ def main():
     ap.add_argument("--max-waves", type=int, default=10)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--no-images", action="store_true")
+    ap.add_argument("--image-px", type=int, default=64)
+    ap.add_argument("--payload", default="synthetic", choices=["synthetic", "table"])
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
     from crawlspark.session import get_spark
 
     master = f"local[{args.cpus}]" if args.cpus else None
-    spark = get_spark(app_name="crawl-bench", master=master)
+    spark = get_spark(app_name="crawl-bench", master=master,
+                      shuffle_partitions=args.shuffle_partitions)
     outs = [
         run_crawl_bench(
             spark, args.scale, args.wave_budget,
             validate_images=not args.no_images, max_waves=args.max_waves,
+            image_px=args.image_px, payload=args.payload,
         )
         for _ in range(args.reps)
     ]

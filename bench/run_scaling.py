@@ -22,17 +22,21 @@ REPO = os.path.dirname(HERE)
 
 
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
-              no_images: bool) -> list[dict]:
+              no_images: bool, image_px: int, shuffle_partitions: int) -> list[dict]:
     outs = []
     for rep in range(reps):
         cmd = [
             sys.executable, os.path.join(HERE, "run_crawl.py"),
             "--cpus", str(cpus), "--scale", scale,
             "--wave-budget", str(wave_budget), "--max-waves", str(max_waves),
+            "--image-px", str(image_px),
+            # IDENTICAL physical partitioning at both levels — the controlled
+            # variable is executor parallelism only
+            "--shuffle-partitions", str(shuffle_partitions),
         ]
         if no_images:
             cmd.append("--no-images")
-        env = dict(os.environ, PYTHONPATH=REPO)
+        env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM="48g")
         res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
         if not line:
@@ -53,13 +57,16 @@ def main():
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
     ap.add_argument("--no-images", action="store_true")
+    ap.add_argument("--image-px", type=int, default=256)
+    ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
 
     levels = {}
     for cpus in (args.n, args.n4):
         outs = run_level(cpus, args.scale, args.wave_budget, args.max_waves,
-                         args.reps, args.no_images)
+                         args.reps, args.no_images, args.image_px,
+                         args.shuffle_partitions)
         med = statistics.median(o["urls_per_sec"] for o in outs)
         levels[str(cpus)] = {
             "median_urls_per_sec": med,
@@ -70,6 +77,8 @@ def main():
     eff = t_4n / (4 * t_n)
     result = {
         "scale": args.scale,
+        "image_px": args.image_px,
+        "shuffle_partitions": args.shuffle_partitions,
         "wave_budget": args.wave_budget,
         "max_waves": args.max_waves,
         "reps": args.reps,

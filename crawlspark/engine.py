@@ -38,7 +38,13 @@ PENDING_COLS = [
     "job_id", "parent_id", "url_canon", "url_hash", "cache_key", "host",
     "host_bucket", "priority", "seq", "max_retries", "retry_policy",
     "max_retry_delay_us", "retry_count", "not_before_us", "wave",
+    "accept_lo", "accept_hi",  # per-job DoCheckResponse range (F-13)
 ]
+
+RESPONSES_SCHEMA = (
+    "cache_key string, status int, body_image_id string, "
+    "out_links array<string>, latency_us long"
+)
 
 TERMINAL_SCHEMA = (
     "job_id string, url_canon string, attempts int, final_state string, wave int"
@@ -64,6 +70,13 @@ class CrawlConfig:
     # Below this row count the engine joins directly (the tier is still
     # built + checkpointed either way — membership answers don't change).
     bloom_prefilter_min_seen: int = 2_000_000
+    # payload validation plan: "table" joins the images dimension and
+    # validates its bytes (correctness fixtures); "synthetic" fuses payload
+    # synthesis + validation per unique URL inside one UDF — the 10^10-scale
+    # shape where every page has its own image and bytes never cross a
+    # stage boundary
+    payload_mode: str = "table"
+    payload_px: int = 128  # synthetic-mode image edge length
     workdir: str | None = None  # set → durable checkpoints + resume
 
 
@@ -73,6 +86,7 @@ class CrawlRun:
     results: DataFrame
     terminal: DataFrame
     seen: DataFrame
+    responses: DataFrame | None = None  # successful fetches (the cache table)
     metrics: list[dict] = field(default_factory=list)
     waves: int = 0
     stopped: bool = False
@@ -88,8 +102,12 @@ class CrawlEngine:
         budgets: DataFrame,
         images: DataFrame | None = None,
         config: CrawlConfig | None = None,
+        response_cache: DataFrame | None = None,
     ):
         self.spark = spark
+        # C-2: cache-first fetch — hits skip the fetch join but still flow
+        # through parse/process/expansion (scrapemate.go:345-375)
+        self.response_cache = response_cache.persist() if response_cache is not None else None
         self.cfg = config or CrawlConfig()
         # one-time batch cost, amortized over every wave
         self.pages = FT.resolve_redirects(pages).persist()
@@ -109,6 +127,21 @@ class CrawlEngine:
             else None
         )
 
+    def _bloom_maintain(self, seen_full, seen_delta) -> None:
+        """Build/extend the bloom tier only once the seen set is big enough
+        for the prefilter to pay for itself (construction is deferred, then
+        a one-time full build catches up, then per-wave deltas)."""
+        if self.bloom is None:
+            return
+        if self._seen_rows < self.cfg.bloom_prefilter_min_seen // 2:
+            self._bloom_synced = False
+            return
+        if not getattr(self, "_bloom_synced", False):
+            self.bloom.add_from_df(seen_full)
+            self._bloom_synced = True
+        else:
+            self.bloom.add_from_df(seen_delta)
+
     def _tick(self, label: str, wave: int) -> None:
         if self._profile:
             now = time.monotonic()
@@ -119,12 +152,16 @@ class CrawlEngine:
     def _admit_seeds(self, seeds: DataFrame):
         """Wave-0 seed injection (scrapemateapp.go:73-81 analog): canonize,
         dedup within the seed list (first push wins), robots-gate, assign seq."""
+        cols = ["job_id", "url", "url_params", "method", "body", "priority",
+                "max_retries", "retry_policy", "max_retry_delay_us", "seed_order"]
+        for c, default in (("accept_lo", 200), ("accept_hi", 299)):
+            seeds = (
+                seeds.withColumn(c, F.coalesce(F.col(c), F.lit(default)).cast("int"))
+                if c in seeds.columns
+                else seeds.withColumn(c, F.lit(default).cast("int"))
+            )
         s = urlnorm.with_url_columns(
-            seeds.select(
-                "job_id", "url", "url_params", "method", "body",
-                "priority", "max_retries", "retry_policy", "max_retry_delay_us",
-                "seed_order",
-            ),
+            seeds.select(*cols, "accept_lo", "accept_hi"),
             self.cfg.host_buckets,
         ).withColumn("priority", frontier.normalize_priority(F.col("priority")))
 
@@ -169,6 +206,7 @@ class CrawlEngine:
             F.col("job_id").alias("parent_id"),
             F.col("rank").alias("parent_rank"),
             "priority", "max_retries", "retry_policy", "max_retry_delay_us",
+            "accept_lo", "accept_hi",  # children inherit the parent's check
             F.posexplode("out_links").alias("link_pos", "url"),
         )
         cand = urlnorm.with_url_columns(
@@ -220,10 +258,22 @@ class CrawlEngine:
             F.lit(wave).cast("int").alias("wave"),
             F.col("rank").cast("int").alias("rank"),
             "status", "attempts",
-            F.lit(False).alias("from_cache"),
+            "from_cache",
             F.col("body_image_id").alias("image_id"),
             "latency_us",
         )
+        if self.cfg.validate_images and self.cfg.payload_mode == "synthetic":
+            from crawlspark.image import fetch_validate_udf
+
+            v = fetch_validate_udf(F.col("image_id"), F.lit(self.cfg.payload_px))
+            return (
+                base.withColumn("_v", F.when(F.col("image_id").isNotNull(), v))
+                .withColumn("caption", F.lit(None).cast("string"))
+                .withColumn("phash", F.col("_v.phash"))
+                .withColumn("psnr_db", F.col("_v.psnr_db"))
+                .withColumn("pixels_ok", F.col("_v.pixels_ok"))
+                .drop("_v")
+            )
         if self.images is None or not self.cfg.validate_images:
             return (
                 base.withColumn("caption", F.lit(None).cast("string"))
@@ -231,7 +281,11 @@ class CrawlEngine:
                 .withColumn("psnr_db", F.lit(None).cast("double"))
                 .withColumn("pixels_ok", F.lit(None).cast("boolean"))
             )
-        img = self.images.select("image_id", "bytes", "fmt", "caption", "phash")
+        # images is a dimension table → broadcast, so result rows never
+        # shuffle with payload bytes attached (at 10^10 scale the bytes live
+        # in object storage and the validate UDF fetches per batch instead;
+        # the plan shape — no payload in shuffles — is the same, SURVEY §4.4)
+        img = F.broadcast(self.images.select("image_id", "bytes", "fmt", "caption", "phash"))
         joined = base.join(img, "image_id", "left")
         v = validate_image_udf(F.col("image_id"), F.col("bytes"), F.col("fmt"))
         return (
@@ -265,6 +319,7 @@ class CrawlEngine:
         order_parts: list[DataFrame] = []
         results_parts: list[DataFrame] = []
         terminal_parts: list[DataFrame] = []
+        responses_parts: list[DataFrame] = []
         metrics: list[dict] = []
         resumed_from = 0
 
@@ -289,9 +344,8 @@ class CrawlEngine:
 
                     if os.path.exists(self.io.wave_path(tbl, w0)):
                         parts.append(spark.read.parquet(self.io.wave_path(tbl, w0)))
-            if self.bloom is not None and seen is not None:
-                self.bloom.add_from_df(seen)  # rebuild tier from committed seen set
             self._seen_rows = seen.count()
+            self._bloom_maintain(seen, seen)  # rebuild tier from committed seen set
         else:
             wave = 0
             stopped = False
@@ -302,8 +356,7 @@ class CrawlEngine:
             terminal_parts.append(blocked_term)
             seq_base = self._n_seed_allowed
             self._seen_rows = seen.count()
-            if self.bloom is not None:
-                self.bloom.add_from_df(seen)
+            self._bloom_maintain(seen, seen)
             if self.io:
                 self.io.commit_manifest(
                     {"wave": 0, "seq_base": seq_base, "stopped": False, "metrics": []}
@@ -340,7 +393,7 @@ class CrawlEngine:
                 wave_sel.select("job_id"), "job_id", "left_anti"
             )
 
-            fetched = FT.fetch_simulate(wave_sel, self.pages)
+            fetched = FT.fetch_simulate(wave_sel, self.pages, self.response_cache)
             out = FT.apply_outcomes(fetched, wave_ts).persist()
 
             by_outcome = {
@@ -359,6 +412,12 @@ class CrawlEngine:
                 "job_id", "url_canon",
             )
             done = out.filter(F.col("outcome") == "done")
+            responses_df = done.select(
+                "cache_key", "status", "body_image_id", "out_links", "latency_us"
+            )
+            if self.io:
+                responses_df = self._materialize(responses_df, "responses", wave)
+            responses_parts.append(responses_df)
             results_df = self._build_results(done, wave)
             terminal_df = out.filter(F.col("outcome").isin("done", "failed", "stop")).select(
                 "job_id", "url_canon", "attempts",
@@ -396,6 +455,7 @@ class CrawlEngine:
             pending = self._materialize(new_pending, "pending", wave)
             self._tick("mat-pending", wave)
             seen = seen.unionByName(seen_delta)  # both sides already materialized
+            self._bloom_maintain(seen, seen_delta)
             self._seen_chain += 1
             if self._seen_chain >= 8:
                 # periodic compaction (the Nutch CrawlDb-merge analog): bound
@@ -404,8 +464,6 @@ class CrawlEngine:
                     seen.repartition(self._n_shuffle, "url_hash"), "seen_full", wave
                 )
                 self._seen_chain = 0
-            if self.bloom is not None:
-                self.bloom.add_from_df(seen_delta)
             self._tick("bloom", wave)
 
             # wave outputs stay LAZY over the persisted `out`/`cand` frames in
@@ -460,6 +518,7 @@ class CrawlEngine:
             return df
 
         return CrawlRun(
+            responses=_union(responses_parts, RESPONSES_SCHEMA),
             order=_union(order_parts, ORDER_SCHEMA),
             results=_union(
                 results_parts,

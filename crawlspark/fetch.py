@@ -78,12 +78,22 @@ def resolve_redirects(pages: DataFrame, max_hops: int = MAX_REDIRECT_HOPS) -> Da
     ).withColumn("redirect_to", F.lit(None).cast("string"))
 
 
-def fetch_simulate(wave: DataFrame, pages_resolved: DataFrame) -> DataFrame:
+def fetch_simulate(
+    wave: DataFrame,
+    pages_resolved: DataFrame,
+    response_cache: DataFrame | None = None,
+) -> DataFrame:
     """One fetch attempt per selected row: equi-join on url_hash.
 
     Missing page → 404 (network-level failure analog); a page with
     flaky_attempts=k returns 503 for attempts 0..k-1 then its real status —
     the deterministic failure source that drives the retry goldens.
+
+    Cache tier (C-2 parity, scrapemate.go:345-375): when `response_cache`
+    (cache_key → successful response) is given, hits are served WITHOUT the
+    fetch join contributing — from_cache=True rows still flow through parse/
+    process/expansion exactly like fetched ones. Only successful responses
+    ever enter the cache (scrapemate.go:370-374), so a hit is always ok.
     """
     p = pages_resolved.select(
         "url_hash",
@@ -94,14 +104,40 @@ def fetch_simulate(wave: DataFrame, pages_resolved: DataFrame) -> DataFrame:
         "latency_us",
     )
     joined = wave.join(p, "url_hash", "left")
-    status = (
+    sim_status = (
         F.when(F.col("page_status").isNull(), F.lit(404))
         .when(F.col("retry_count") < F.coalesce(F.col("flaky_attempts"), F.lit(0)), F.lit(503))
         .otherwise(F.col("page_status"))
     )
+    if response_cache is not None:
+        c = response_cache.select(
+            "cache_key",
+            F.col("status").alias("c_status"),
+            F.col("body_image_id").alias("c_img"),
+            F.col("out_links").alias("c_links"),
+        )
+        joined = joined.join(c, "cache_key", "left")
+        hit = F.col("c_status").isNotNull()
+        joined = (
+            joined.withColumn("from_cache", hit)
+            .withColumn("status", F.when(hit, F.col("c_status")).otherwise(sim_status).cast("int"))
+            .withColumn("body_image_id", F.when(hit, F.col("c_img")).otherwise(F.col("body_image_id")))
+            .withColumn("out_links", F.when(hit, F.col("c_links")).otherwise(F.col("out_links")))
+            .withColumn("latency_us", F.when(hit, F.lit(0)).otherwise(F.col("latency_us")))
+            .drop("c_status", "c_img", "c_links")
+        )
+    else:
+        joined = joined.withColumn("from_cache", F.lit(False)).withColumn(
+            "status", sim_status.cast("int")
+        )
+    # DoCheckResponse: per-job accept range, default 2xx (job.go:180-188;
+    # customDoCheckResponse pinned by scrapemate_test.go:710-732)
+    ok = F.col("status").between(
+        F.coalesce(F.col("accept_lo"), F.lit(200)),
+        F.coalesce(F.col("accept_hi"), F.lit(299)),
+    )
     return (
-        joined.withColumn("status", status.cast("int"))
-        .withColumn("ok", F.col("status").between(200, 299))
+        joined.withColumn("ok", ok)
         .withColumn("attempts", (F.col("retry_count") + 1).cast("int"))
         .drop("page_status")
     )

@@ -269,6 +269,48 @@ def validate_image_udf(
     return pd.DataFrame({"psnr_db": psnrs, "pixels_ok": oks, "phash": hashes})
 
 
+@F.pandas_udf(VALIDATE_SCHEMA)
+def fetch_validate_udf(image_id: pd.Series, px_size: pd.Series) -> pd.DataFrame:
+    """Fused fetch-payload + validate stage for UNIQUE-per-URL images.
+
+    Synthesizes the page's image payload (what the network would return),
+    encodes it in an id-derived format, then decodes and validates against
+    the regenerated reference — all inside one Arrow batch, so payload bytes
+    NEVER cross a stage boundary. This is the plan shape a real crawler needs
+    at 10^10 scale: fetch and decode colocated in one task; only the small
+    validation verdict (psnr/ok/phash) flows on (SURVEY.md §4.4).
+
+    The broadcast-join + validate path (validate_image_udf) remains for
+    dimension-table payloads; shipping per-row megabyte payloads through a
+    join measurably anti-scales (memory-bandwidth bound — see BENCH notes).
+    """
+    fmts = ("ppm", "bmp", "qnt", "png")
+    psnrs, oks, hashes = [], [], []
+    for iid, px in zip(image_id, px_size):
+        try:
+            size = int(px)
+            # md5-derived, NOT python hash() (which is salted per process)
+            fsel = hashlib.md5(iid.encode()).digest()[0] % 3
+            fmt = fmts[fsel]  # ppm/bmp/qnt (png decode is the slow path)
+            ref = reference_pixels(iid, size, size)
+            payload = ENCODERS[fmt](ref)  # the simulated network response
+            decoded = DECODERS[fmt](payload)
+            p = psnr_db(decoded, ref)
+            ok = (
+                bool(np.array_equal(decoded, ref))
+                if fmt in LOSSLESS
+                else bool(p >= 40.0)
+            )
+            psnrs.append(1e9 if p == PSNR_EXACT else p)
+            oks.append(ok)
+            hashes.append(average_hash(decoded))
+        except Exception:
+            psnrs.append(0.0)
+            oks.append(False)
+            hashes.append(0)
+    return pd.DataFrame({"psnr_db": psnrs, "pixels_ok": oks, "phash": hashes})
+
+
 @F.pandas_udf(T.LongType())
 def phash_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
     out = []

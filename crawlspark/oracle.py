@@ -47,6 +47,8 @@ class OJob:
     max_retries: int
     retry_policy: int
     max_retry_delay_us: int
+    accept_lo: int = 200
+    accept_hi: int = 299
     retry_count: int = 0
     not_before_us: int = 0
     state: str = C.ST_PENDING
@@ -130,6 +132,8 @@ def run_oracle(
                 max_retries=s["max_retries"],
                 retry_policy=s["retry_policy"],
                 max_retry_delay_us=s["max_retry_delay_us"] or C.DEFAULT_MAX_RETRY_DELAY_US,
+                accept_lo=s.get("accept_lo") or 200,
+                accept_hi=s.get("accept_hi") or 299,
             ),
             wave=0,
         )
@@ -184,7 +188,9 @@ def run_oracle(
                 status = 503
             else:
                 status = page.status
-            ok = 200 <= status < 300
+            # DoCheckResponse: per-job accept range (default 2xx,
+            # job.go:180-188; custom predicate scrapemate_test.go:710-732)
+            ok = j.accept_lo <= status <= j.accept_hi
 
             if ok:
                 j.state = C.ST_DONE
@@ -267,6 +273,8 @@ def run_oracle(
                         max_retries=parent.max_retries,
                         retry_policy=parent.retry_policy,
                         max_retry_delay_us=parent.max_retry_delay_us,
+                        accept_lo=parent.accept_lo,
+                        accept_hi=parent.accept_hi,
                         not_before_us=wave_ts,
                     ),
                     wave=wave,

@@ -157,6 +157,8 @@ SEEDS_SCHEMA = T.StructType(
         T.StructField("max_retries", T.IntegerType(), False),
         T.StructField("retry_policy", T.IntegerType(), False),
         T.StructField("max_retry_delay_us", T.LongType(), False),
+        T.StructField("accept_lo", T.IntegerType(), True),  # DoCheckResponse range
+        T.StructField("accept_hi", T.IntegerType(), True),  # (null → 200-299 default)
         T.StructField("seed_order", T.LongType(), False),  # push order (FIFO parity)
     ]
 )

@@ -37,7 +37,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image binary columns make rows big — cap Arrow batch rows
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # (256 rows × ~200KB payload ≈ 50MB per in-flight batch per core)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

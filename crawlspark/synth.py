@@ -200,6 +200,8 @@ def make_world(
                 "max_retries": 2,
                 "retry_policy": C.RETRY_JOB,
                 "max_retry_delay_us": C.DEFAULT_MAX_RETRY_DELAY_US,
+                "accept_lo": 200,
+                "accept_hi": 299,
                 "seed_order": k,
             }
         )
@@ -240,6 +242,7 @@ def spark_pages_df(
     total_pages: int = 1_000_000,
     n_images: int = 512,
     branching: int = 4,
+    unique_images: bool = False,
 ):
     """Bench-scale pages table generated ENTIRELY in Spark (no driver loop).
 
@@ -310,7 +313,13 @@ def spark_pages_df(
     ).otherwise(F.array())
     df = df.withColumn("out_links", F.concat(tree, cross, hot, private))
 
-    img = F.concat(F.lit("img"), F.lpad(F.pmod(F.col("hv"), F.lit(n_images)).cast("string"), 8, "0"))
+    if unique_images:
+        # every page carries its OWN image (the 10^10-scale reality) — the
+        # id is self-describing; payload synthesis/validation derives pixels
+        # from it deterministically (image.fetch_validate_udf)
+        img = F.concat(F.lit("uimg-"), F.conv(F.col("hv").cast("string"), 10, 16))
+    else:
+        img = F.concat(F.lit("img"), F.lpad(F.pmod(F.col("hv"), F.lit(n_images)).cast("string"), 8, "0"))
     df = df.withColumn(
         "body_image_id",
         F.when((F.col("status") == 200) | (F.col("flaky_attempts") > 0), img),
@@ -337,14 +346,20 @@ def spark_world_tables(
     host_budget: int = 4000,
     hot_host_budget: int = 2000,
     image_sizes: tuple[int, ...] = (64,),
+    unique_images: bool = False,
 ):
     """Full bench-scale table set: Spark-generated pages + small python-side
     seeds/robots/budgets/images (those are inherently small)."""
-    pages = spark_pages_df(spark, n_hosts, total_pages, n_images, branching)
+    pages = spark_pages_df(spark, n_hosts, total_pages, n_images, branching, unique_images)
+    weights = np.array([(h + 1) ** -1.2 for h in range(n_hosts)])
+    weights /= weights.sum()
+    sizes = np.maximum(1, (weights * total_pages).astype(int))
     seeds = [
         {
-            "job_id": f"seed{k:04d}",
-            "url": _page_url(k % n_hosts, 0),
+            "job_id": f"seed{k:06d}",
+            # spread seeds across hosts AND distinct pages within each host
+            # (k % n_hosts alone would collide on page 0 and dedup away)
+            "url": _page_url(k % n_hosts, (k // n_hosts) * 97 % int(sizes[k % n_hosts])),
             "method": "GET",
             "body": None,
             "headers": {},
@@ -353,6 +368,8 @@ def spark_world_tables(
             "max_retries": 2,
             "retry_policy": C.RETRY_JOB,
             "max_retry_delay_us": C.DEFAULT_MAX_RETRY_DELAY_US,
+            "accept_lo": 200,
+            "accept_hi": 299,
             "seed_order": k,
         }
         for k in range(n_seeds)
@@ -431,6 +448,10 @@ def pages_df(spark, world: World):
 
 def seeds_df(spark, world: World):
     pdf = pd.DataFrame(world.seeds)
+    # pandas→Spark maps columns positionally against the schema; reindex so
+    # optional fields (accept_lo/accept_hi) appear even when a test's seed
+    # dicts omit them
+    pdf = pdf.reindex(columns=[f.name for f in S.SEEDS_SCHEMA.fields])
     return spark.createDataFrame(pdf, schema=S.SEEDS_SCHEMA)
 
 
