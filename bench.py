@@ -64,19 +64,25 @@ def main() -> None:
     total = round(time.monotonic() - t_total0, 3)
 
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "crawlspark_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "crawl": crawl,
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "crawlspark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    # attach the latest N-vs-4N evidence if a scaling run has been recorded
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling"] = {
+            k: s[k]
+            for k in ("n_cores", "n4_cores", "throughput_n", "throughput_4n", "scaling_efficiency")
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -38,6 +38,10 @@ SCALES = {
     # the run measures steady-state scheduling + payload work, not ramp-up
     "xwide": dict(n_hosts=256, total_pages=2_000_000, n_images=512, n_seeds=20_000,
                   host_budget=12000, hot_host_budget=6000),
+    # saturating seed set: every wave is budget-bound from wave 1 — pure
+    # steady-state throughput, no discovery ramp
+    "xsat": dict(n_hosts=256, total_pages=2_000_000, n_images=512, n_seeds=100_000,
+                 host_budget=20000, hot_host_budget=10000),
 }
 
 
