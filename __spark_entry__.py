@@ -313,6 +313,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count"] = token_count
 
+    def bpe_token_count(spark, sf):
+        # BPE-ish segmentation: word pieces = runs of letters, digits, or a
+        # single punctuation mark (the GPT-2 pre-tokenizer shape, ASCII-only)
+        d = _t(spark, sf, "documents")
+        pieces = F.filter(
+            F.split(F.col("text"), r"[^A-Za-z0-9]+"),
+            lambda t: t != "",
+        )
+        subwords = F.aggregate(
+            pieces,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+        )
+        return d.select("doc_id", subwords.alias("n_subwords"))
+
+    q["bpe_token_count"] = bpe_token_count
+
     def punct_quality(spark, sf):
         d = _t(spark, sf, "documents")
         t = F.col("text")
@@ -603,6 +620,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens FROM documents
     """
 
+    o["bpe_token_count"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), t -> t != '') AS pieces
+          FROM documents)
+        SELECT doc_id,
+               CAST(list_sum(list_transform(pieces, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+                 AS n_subwords
+        FROM p
+    """
+
     o["punct_quality"] = f"""
         WITH b AS (
           SELECT doc_id,
@@ -724,6 +752,29 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(a.e, b.e)
                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+    """
+
+    o["minhash_lsh_candidates"] = f"""
+        {_SHINGLES_SQL},
+        sig AS (
+          SELECT doc_id, CAST(perm AS INT) AS perm,
+                 min({_hash60_sql("perm || '|' || shingle")}) AS minh
+          FROM sh, (SELECT unnest(range(0, 8)) AS perm)
+          GROUP BY doc_id, perm),
+        bands AS (
+          SELECT doc_id, CAST(floor(perm / 2) AS INT) AS band,
+                 md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY perm)) AS bucket
+          FROM sig GROUP BY doc_id, CAST(floor(perm / 2) AS INT)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / 8.0, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b AND sb.perm = sa.perm
+        GROUP BY doc_a, doc_b
     """
 
     return o
