@@ -14,10 +14,18 @@ order-insensitive value-hash comparison is stable.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# crawlspark lives next to this file; make it importable however the driver
+# loaded this module (spec loader, different cwd, …)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
