@@ -50,6 +50,19 @@ class World:
     n_hosts: int
 
 
+def _typed_rows(records: list[dict], schema) -> list[tuple]:
+    """Plain-Python row tuples in schema field order.
+
+    Bypasses pandas for small dimension tables: pandas coerces a mixed
+    int/None column (e.g. robots.crawl_delay_us) to float64, and the
+    non-Arrow createDataFrame verifier rejects 100000.0 for LongType
+    (the driver harness runs without Arrow). Tuples keep int/None exact
+    on both the Arrow and non-Arrow paths.
+    """
+    names = [f.name for f in schema.fields]
+    return [tuple(r.get(n) for n in names) for r in records]
+
+
 def _host_name(h: int) -> str:
     return f"h{h:04d}.test"
 
@@ -374,23 +387,27 @@ def spark_world_tables(
         }
         for k in range(n_seeds)
     ]
-    seeds_sdf = spark.createDataFrame(pd.DataFrame(seeds), schema=S.SEEDS_SCHEMA)
+    seeds_sdf = spark.createDataFrame(
+        _typed_rows(seeds, S.SEEDS_SCHEMA), schema=S.SEEDS_SCHEMA
+    )
     robots = spark.createDataFrame(
-        pd.DataFrame(
+        _typed_rows(
             [
                 {"host": _host_name(h), "disallow_prefixes": ["/private"] if h % 2 == 0 else [],
                  "crawl_delay_us": None}
                 for h in range(n_hosts)
-            ]
+            ],
+            S.ROBOTS_SCHEMA,
         ),
         schema=S.ROBOTS_SCHEMA,
     )
     budgets = spark.createDataFrame(
-        pd.DataFrame(
+        _typed_rows(
             [
                 {"host": _host_name(h), "max_per_wave": hot_host_budget if h == 0 else host_budget}
                 for h in range(n_hosts)
-            ]
+            ],
+            S.POLITENESS_SCHEMA,
         ),
         schema=S.POLITENESS_SCHEMA,
     )
@@ -406,13 +423,16 @@ def spark_world_tables(
             {"image_id": iid, "bytes": data, "w": w, "h": hgt, "fmt": fmt,
              "caption": f"caption for {iid}", "phash": IMG.average_hash(IMG.DECODERS[fmt](data))}
         )
-    images_sdf = spark.createDataFrame(pd.DataFrame(images), schema=S.IMAGES_SCHEMA)
+    images_sdf = spark.createDataFrame(
+        _typed_rows(images, S.IMAGES_SCHEMA), schema=S.IMAGES_SCHEMA
+    )
     return pages, seeds_sdf, robots, budgets, images_sdf
 
 
 def images_df(spark, world: World):
-    pdf = pd.DataFrame(world.images)
-    return spark.createDataFrame(pdf, schema=S.IMAGES_SCHEMA)
+    return spark.createDataFrame(
+        _typed_rows(world.images, S.IMAGES_SCHEMA), schema=S.IMAGES_SCHEMA
+    )
 
 
 def pages_df(spark, world: World):
@@ -447,19 +467,18 @@ def pages_df(spark, world: World):
 
 
 def seeds_df(spark, world: World):
-    pdf = pd.DataFrame(world.seeds)
-    # pandas→Spark maps columns positionally against the schema; reindex so
-    # optional fields (accept_lo/accept_hi) appear even when a test's seed
-    # dicts omit them
-    pdf = pdf.reindex(columns=[f.name for f in S.SEEDS_SCHEMA.fields])
-    return spark.createDataFrame(pdf, schema=S.SEEDS_SCHEMA)
+    return spark.createDataFrame(
+        _typed_rows(world.seeds, S.SEEDS_SCHEMA), schema=S.SEEDS_SCHEMA
+    )
 
 
 def robots_df(spark, world: World):
-    pdf = pd.DataFrame(world.robots)
-    return spark.createDataFrame(pdf, schema=S.ROBOTS_SCHEMA)
+    return spark.createDataFrame(
+        _typed_rows(world.robots, S.ROBOTS_SCHEMA), schema=S.ROBOTS_SCHEMA
+    )
 
 
 def politeness_df(spark, world: World):
-    pdf = pd.DataFrame(world.politeness)
-    return spark.createDataFrame(pdf, schema=S.POLITENESS_SCHEMA)
+    return spark.createDataFrame(
+        _typed_rows(world.politeness, S.POLITENESS_SCHEMA), schema=S.POLITENESS_SCHEMA
+    )
