@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawlspark import constants as C
-from crawlspark import frontier, politeness, urlnorm
+from crawlspark import frontier, jobtypes, politeness, urlnorm
 from crawlspark import fetch as FT
 from crawlspark import seen as SEEN
 from crawlspark.checkpoint import TableIO
@@ -36,9 +36,14 @@ from crawlspark.image import validate_image_udf
 
 PENDING_COLS = [
     "job_id", "parent_id", "url_canon", "url_hash", "cache_key", "host",
-    "host_bucket", "priority", "seq", "max_retries", "retry_policy",
-    "max_retry_delay_us", "retry_count", "not_before_us", "wave",
+    "host_bucket", "method", "body", "headers",  # POST round-trip (job.go:63-104)
+    "priority", "seq", "max_retries", "retry_policy",
+    "max_retry_delay_us", "timeout_us",  # F-17 per-job timeout (job.go:259-262)
+    "retry_count", "not_before_us", "wave",
     "accept_lo", "accept_hi",  # per-job DoCheckResponse range (F-13)
+    "use_in_results",  # O-1 result-emit gate (job.go:112-114)
+    "is_init",  # F-5 init-job BFS phase marker (scrapemate.go:489-523)
+    "job_type",  # P-2 per-type Process dispatch (job.go:46-47)
 ]
 
 RESPONSES_SCHEMA = (
@@ -49,7 +54,7 @@ RESPONSES_SCHEMA = (
 TERMINAL_SCHEMA = (
     "job_id string, url_canon string, attempts int, final_state string, wave int"
 )
-ORDER_SCHEMA = "wave int, rank long, job_id string, url_canon string"
+ORDER_SCHEMA = "wave int, rank long, job_id string, url_canon string, is_init boolean"
 SEEN_TBL_SCHEMA = "url_hash long, cache_key string, first_seen_wave int"
 
 
@@ -70,6 +75,12 @@ class CrawlConfig:
     # Below this row count the engine joins directly (the tier is still
     # built + checkpointed either way — membership answers don't change).
     bloom_prefilter_min_seen: int = 2_000_000
+    # P-2 job-type registry (name → jobtypes.JobTypeSpec); None → the single
+    # default type, which reproduces untyped crawls bit-for-bit
+    job_types: dict | None = None
+    # P-3: extract child links from the response body (regexp over body_html)
+    # instead of reading the pre-extracted out_links column
+    extract_links_from_body: bool = False
     # payload validation plan: "table" joins the images dimension and
     # validates its bytes (correctness fixtures); "synthetic" fuses payload
     # synthesis + validation per unique URL inside one UDF — the 10^10-scale
@@ -109,6 +120,7 @@ class CrawlEngine:
         # through parse/process/expansion (scrapemate.go:345-375)
         self.response_cache = response_cache.persist() if response_cache is not None else None
         self.cfg = config or CrawlConfig()
+        self.specs = self.cfg.job_types or jobtypes.default_specs()
         # one-time batch cost, amortized over every wave
         self.pages = FT.resolve_redirects(pages).persist()
         self.robots = robots.persist()
@@ -154,14 +166,25 @@ class CrawlEngine:
         dedup within the seed list (first push wins), robots-gate, assign seq."""
         cols = ["job_id", "url", "url_params", "method", "body", "priority",
                 "max_retries", "retry_policy", "max_retry_delay_us", "seed_order"]
-        for c, default in (("accept_lo", 200), ("accept_hi", 299)):
+        defaults = (
+            ("accept_lo", F.lit(200), "int"),
+            ("accept_hi", F.lit(299), "int"),
+            ("timeout_us", F.lit(None), "long"),
+            ("headers", F.lit(None), "map<string,string>"),
+            # UseInResults defaults true (job.go:112-114); init defaults false
+            ("use_in_results", F.lit(True), "boolean"),
+            ("is_init", F.lit(False), "boolean"),
+            ("job_type", F.lit(jobtypes.DEFAULT_JOB_TYPE), "string"),
+        )
+        for c, default, typ in defaults:
             seeds = (
-                seeds.withColumn(c, F.coalesce(F.col(c), F.lit(default)).cast("int"))
+                seeds.withColumn(c, F.coalesce(F.col(c), default).cast(typ))
                 if c in seeds.columns
-                else seeds.withColumn(c, F.lit(default).cast("int"))
+                else seeds.withColumn(c, default.cast(typ))
             )
+        extra = [c for c, _, _ in defaults]
         s = urlnorm.with_url_columns(
-            seeds.select(*cols, "accept_lo", "accept_hi"),
+            seeds.select(*cols, *extra),
             self.cfg.host_buckets,
         ).withColumn("priority", frontier.normalize_priority(F.col("priority")))
 
@@ -199,57 +222,134 @@ class CrawlEngine:
 
         Children inherit the parent's priority/retry config; job identity is
         md5(parent|pos|canon)[:16]; dedup = in-batch first-occurrence window
-        + bloom prefilter + exact anti-join vs seen (seen.py)."""
+        + bloom prefilter + exact seen probe (seen.py).
+
+        ONE driver action for the whole stage: every per-row decision is a
+        flag (`_first` in-batch winner, `_seen` probe, `_blocked` robots), and
+        a single per-range-partition aggregate yields candidate/fresh/admit
+        counts AND the rank offsets for deterministic seq assignment. The
+        round-1 version spent 3 extra actions here (candidate count, anti-join
+        rank collect, seen-delta count) — driver round-trips are the serial
+        floor that capped N→4N scaling efficiency."""
         parents = done.filter(
             F.col("out_links").isNotNull() & (F.size("out_links") > 0)
         ).select(
             F.col("job_id").alias("parent_id"),
             F.col("rank").alias("parent_rank"),
             "priority", "max_retries", "retry_policy", "max_retry_delay_us",
+            "timeout_us",  # children inherit the parent's fetch config
             "accept_lo", "accept_hi",  # children inherit the parent's check
+            "is_init",  # init descendants stay in the init BFS (scrapemate.go:489-523)
+            F.col("job_type").alias("_parent_type"),
             F.posexplode("out_links").alias("link_pos", "url"),
         )
         cand = urlnorm.with_url_columns(
             parents.withColumn("url_params", F.lit(None).cast("map<string,string>"))
             .withColumn("method", F.lit("GET"))
-            .withColumn("body", F.lit(None).cast("binary")),
+            .withColumn("body", F.lit(None).cast("binary"))
+            .withColumn("headers", F.lit(None).cast("map<string,string>")),
             self.cfg.host_buckets,
         ).withColumn(
             "job_id",
             F.substring(
                 F.md5(F.concat_ws("|", "parent_id", "link_pos", "url_canon")), 1, 16
             ),
-        ).persist()
-        n_candidates = cand.count()
+        )
 
-        # in-batch dedup: first occurrence by (parent_rank, link_pos) wins —
-        # the order parents push children in (scrapemate_test.go:445-534)
-        w = Window.partitionBy("cache_key").orderBy("parent_rank", "link_pos")
-        cand = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        # P-2 dispatch: the parent type's child rules decide which links
+        # become jobs, their type, and config overrides (collect_job.go:28-69
+        # shape). A link claimed by no rule never becomes a job — dropped
+        # before dedup, exactly like user Process code that ignores it.
+        path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("/"))
+        ce = jobtypes.child_column_exprs(self.specs, F.col("_parent_type"), path)
+        cand = (
+            cand.withColumn("job_type", ce["child_type"])
+            .filter(F.col("job_type").isNotNull())
+            .withColumn(
+                "priority",
+                frontier.normalize_priority(F.coalesce(ce["child_priority"], F.col("priority"))),
+            )
+            .withColumn("max_retries", F.coalesce(ce["child_max_retries"], F.col("max_retries")))
+            .withColumn("timeout_us", F.coalesce(ce["child_timeout_us"], F.col("timeout_us")))
+            # children are fresh jobs: UseInResults defaults true (job.go:112-114)
+            .withColumn("use_in_results", F.coalesce(ce["child_use_in_results"], F.lit(True)))
+        )
+
+        # in-batch dedup flag: first occurrence by (parent_rank, link_pos)
+        # wins — the order parents push children in (scrapemate_test.go:445-534)
+        w_first = Window.partitionBy("cache_key").orderBy("parent_rank", "link_pos")
+        cand = cand.withColumn("_first", F.row_number().over(w_first) == 1)
 
         prefilter_bloom = (
             self.bloom
             if self._seen_rows >= self.cfg.bloom_prefilter_min_seen
             else None
         )
-        fresh = SEEN.dedup_against_seen(cand, seen, prefilter_bloom).persist()
-        allowed, blocked = politeness.robots_gate(fresh, self.robots)
-        allowed, n_allowed = frontier.assign_child_seq(allowed, seq_base)
+        cand = SEEN.mark_seen(cand, seen, prefilter_bloom)
+        cand = politeness.with_robots_flag(cand, self.robots)
+
+        fresh = F.col("_first") & ~F.col("_seen")
+        admit = fresh & ~F.col("_blocked")
+        order = (F.col("parent_rank"), F.col("link_pos"))
+        parted = (
+            cand.repartitionByRange(self._n_shuffle, *order)
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_fresh", fresh)
+            .withColumn("_admit", admit)
+            .withColumn(
+                # running count of admitted rows = 1-based rank for admit rows
+                # ((parent_rank, link_pos) is unique, so the frame is exact)
+                "_arn",
+                F.sum(F.when(F.col("_admit"), 1).otherwise(0)).over(
+                    Window.partitionBy("_pid")
+                    .orderBy(*order)
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .persist()
+        )
+        stats = (
+            parted.groupBy("_pid")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.sum(F.when(F.col("_fresh"), 1).otherwise(0)).alias("n_fresh"),
+                F.sum(F.when(F.col("_admit"), 1).otherwise(0)).alias("n_admit"),
+                F.sum(F.when(F.col("_admit") & F.col("is_init"), 1).otherwise(0)).alias("n_admit_init"),
+            )
+            .collect()
+        )  # ← the stage's single driver action
+        n_candidates = sum(r["n_cand"] for r in stats)
+        n_new = sum(r["n_fresh"] or 0 for r in stats)
+        n_allowed_init = sum(r["n_admit_init"] or 0 for r in stats)
+        offsets, acc = {}, 0
+        for r in sorted(stats, key=lambda r: r["_pid"]):
+            offsets[r["_pid"]] = acc
+            acc += r["n_admit"] or 0
+        n_allowed = acc
+        offset_df = self.spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()] or [(0, 0)], "_pid int, _off long"
+        )
 
         admitted = (
-            allowed.withColumn("retry_count", F.lit(0).cast("int"))
+            parted.filter(F.col("_admit"))
+            .join(F.broadcast(offset_df), "_pid")
+            .withColumn("seq", (F.lit(seq_base) + F.col("_off") + F.col("_arn") - 1).cast("long"))
+            .withColumn("retry_count", F.lit(0).cast("int"))
             .withColumn("not_before_us", F.lit(wave_ts).cast("long"))
             .withColumn("wave", F.lit(wave).cast("int"))
             .select(*PENDING_COLS)
         )
-        seen_delta = fresh.select(
+        seen_delta = parted.filter(F.col("_fresh")).select(
             "url_hash", "cache_key", F.lit(wave).alias("first_seen_wave")
         )
-        blocked_terminal = blocked.select(
+        blocked_terminal = parted.filter(F.col("_fresh") & F.col("_blocked")).select(
             "job_id", "url_canon", F.lit(0).cast("int").alias("attempts"),
             F.lit(C.ST_DISCARDED).alias("final_state"), F.lit(wave).cast("int").alias("wave"),
         )
-        return admitted, n_allowed, seen_delta, blocked_terminal, n_candidates
+        return (
+            admitted, n_allowed, seen_delta, blocked_terminal,
+            n_candidates, n_new, n_allowed_init,
+        )
 
     # ------------------------------------------------------------------ #
     def _build_results(self, done: DataFrame, wave: int) -> DataFrame:
@@ -304,11 +404,15 @@ class CrawlEngine:
     # ------------------------------------------------------------------ #
     def _materialize(self, df: DataFrame, table: str, wave: int) -> DataFrame:
         """Cut lineage per wave: durable parquet when checkpointing, else
-        localCheckpoint (plan would otherwise grow superlinearly with waves)."""
+        localCheckpoint (plan would otherwise grow superlinearly with waves).
+
+        Memory mode checkpoints LAZILY: the work happens inside the next
+        wave's first real action instead of a dedicated driver round-trip —
+        same computation, one fewer serial barrier per call site."""
         if self.io:
             self.io.write_wave(df, table, wave)
             return self.spark.read.parquet(self.io.wave_path(table, wave))
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
 
     # ------------------------------------------------------------------ #
     def run(self, seeds: DataFrame, resume: bool = False) -> CrawlRun:
@@ -345,6 +449,12 @@ class CrawlEngine:
                     if os.path.exists(self.io.wave_path(tbl, w0)):
                         parts.append(spark.read.parquet(self.io.wave_path(tbl, w0)))
             self._seen_rows = seen.count()
+            n_pending = manifest.get("n_pending")
+            if n_pending is None:  # pre-round-2 manifest — one-time fallback
+                n_pending = pending.count()
+            n_init_pending = manifest.get("n_init_pending")
+            if n_init_pending is None:
+                n_init_pending = pending.filter("is_init").count() if "is_init" in pending.columns else 0
             self._bloom_maintain(seen, seen)  # rebuild tier from committed seen set
         else:
             wave = 0
@@ -355,11 +465,17 @@ class CrawlEngine:
             blocked_term = self._materialize(blocked_term, "terminal", 0)
             terminal_parts.append(blocked_term)
             seq_base = self._n_seed_allowed
+            n_pending = self._n_seed_allowed
+            # one-time setup action (not per-wave): how many seeds open an
+            # init BFS phase (F-5, scrapemate.go:489-523)
+            n_init_pending = pending.filter("is_init").count()
             self._seen_rows = seen.count()
             self._bloom_maintain(seen, seen)
             if self.io:
                 self.io.commit_manifest(
-                    {"wave": 0, "seq_base": seq_base, "stopped": False, "metrics": []}
+                    {"wave": 0, "seq_base": seq_base, "stopped": False,
+                     "metrics": [], "n_pending": n_pending,
+                     "n_init_pending": n_init_pending}
                 )
 
         # ---------------- BSP loop -------------------------------------- #
@@ -369,18 +485,62 @@ class CrawlEngine:
             wt0 = time.monotonic()
             self._t_last = wt0
 
-            eligible = pending.filter(F.col("not_before_us") <= wave_ts)
-            future = pending.filter(F.col("not_before_us") > wave_ts)
+            # F-5 init phase: while any init job is pending, ONLY init jobs
+            # are eligible — the BFS-to-exhaustion-before-workers semantics
+            # of processInitJob (scrapemate.go:219-221, 489-523)
+            init_phase = n_init_pending > 0
+            elig_cond = F.col("not_before_us") <= wave_ts
+            if init_phase:
+                elig_cond = elig_cond & F.col("is_init")
+            eligible = pending.filter(elig_cond)
+            future = pending.filter(~elig_cond)
 
             polite = politeness.per_host_topk(
                 eligible, self.budgets, cfg.default_host_budget, cfg.salt_buckets
             )
-            wave_sel, n_sched = frontier.select_wave(polite, cfg.wave_budget)
-            wave_sel = wave_sel.persist()
-            self._tick("select", wave)
+            wave_sel = frontier.select_wave(polite, cfg.wave_budget).persist()
+
+            fetched = FT.fetch_simulate(
+                wave_sel, self.pages, self.response_cache,
+                carry_body_html=cfg.extract_links_from_body,
+            )
+            if cfg.extract_links_from_body and "body_html" in fetched.columns:
+                # P-3 link extraction from the response body (collect_job.go:
+                # 28-32 CSS-select analog, as a Catalyst regexp — no UDF).
+                # Cache hits keep their stored out_links (extracted when the
+                # response was first fetched); body is dropped immediately so
+                # HTML never enters the persisted wave state.
+                fetched = fetched.withColumn(
+                    "out_links",
+                    F.when(
+                        ~F.col("from_cache") & F.col("body_html").isNotNull(),
+                        F.regexp_extract_all(
+                            F.col("body_html"), F.lit(r'<a href="([^"]+)"'), 1
+                        ),
+                    ).otherwise(F.col("out_links")),
+                ).drop("body_html")
+            out = FT.apply_outcomes(fetched, wave_ts).persist()
+
+            # wave driver action 1 of 2: materializes selection + fetch +
+            # outcomes in one job; n_sched falls out as the count total
+            oc_rows = (
+                out.groupBy("outcome", "is_init").agg(F.count("*").alias("n")).collect()
+            )
+            by_outcome: dict[str, int] = {}
+            n_sched_init = n_retried_init = 0
+            for r in oc_rows:
+                by_outcome[r["outcome"]] = by_outcome.get(r["outcome"], 0) + r["n"]
+                if r["is_init"]:
+                    n_sched_init += r["n"]
+                    if r["outcome"] == "retry":
+                        n_retried_init += r["n"]
+            n_sched = sum(by_outcome.values())
+            self._tick("select+fetch+outcomes", wave)
             if n_sched == 0:
                 wave_sel.unpersist()
-                nxt = pending.agg(F.min("not_before_us").alias("m")).collect()[0]["m"]
+                out.unpersist()
+                src = pending.filter("is_init") if init_phase else pending
+                nxt = src.agg(F.min("not_before_us").alias("m")).collect()[0]["m"]
                 if nxt is None:
                     break  # frontier empty — fixpoint (inactivity-exit analog)
                 # fast-forward the virtual clock to the first eligible backoff
@@ -393,14 +553,6 @@ class CrawlEngine:
                 wave_sel.select("job_id"), "job_id", "left_anti"
             )
 
-            fetched = FT.fetch_simulate(wave_sel, self.pages, self.response_cache)
-            out = FT.apply_outcomes(fetched, wave_ts).persist()
-
-            by_outcome = {
-                r["outcome"]: r["n"]
-                for r in out.groupBy("outcome").agg(F.count("*").alias("n")).collect()
-            }
-            self._tick("fetch+outcomes", wave)
             n_done = by_outcome.get("done", 0)
             n_failed = by_outcome.get("failed", 0) + by_outcome.get("stop", 0)
             n_retried = by_outcome.get("retry", 0)
@@ -409,7 +561,7 @@ class CrawlEngine:
             order_df = out.select(
                 F.lit(wave).cast("int").alias("wave"),
                 F.col("rank").cast("long").alias("rank"),
-                "job_id", "url_canon",
+                "job_id", "url_canon", "is_init",
             )
             done = out.filter(F.col("outcome") == "done")
             responses_df = done.select(
@@ -418,7 +570,18 @@ class CrawlEngine:
             if self.io:
                 responses_df = self._materialize(responses_df, "responses", wave)
             responses_parts.append(responses_df)
-            results_df = self._build_results(done, wave)
+            # O-1 result-emit gate (scrapemate.go:585-591) + F-5 init results
+            # discarded (scrapemate.go:489-523) + P-2 per-type emit (a collect
+            # job's Process returns nil data): caching/expansion above are NOT
+            # gated — only the results stream is
+            results_df = self._build_results(
+                done.filter(
+                    F.col("use_in_results")
+                    & ~F.col("is_init")
+                    & jobtypes.emit_result_expr(self.specs, F.col("job_type"))
+                ),
+                wave,
+            )
             terminal_df = out.filter(F.col("outcome").isin("done", "failed", "stop")).select(
                 "job_id", "url_canon", "attempts",
                 F.when(F.col("outcome") == "done", C.ST_DONE)
@@ -427,17 +590,16 @@ class CrawlEngine:
                 F.lit(wave).cast("int").alias("wave"),
             )
 
-            admitted, n_allowed, seen_delta, blocked_term, n_candidates = (
+            (admitted, n_allowed, seen_delta, blocked_term,
+             n_candidates, n_new, n_allowed_init) = (
                 self._expand_children(done, seen, wave, wave_ts, seq_base)
             )
             self._tick("expand", wave)
             admitted = self._materialize(admitted, "admitted", wave)
-            self._tick("mat-admitted", wave)
             seen_delta = self._materialize(seen_delta, "seen", wave)
-            n_new = seen_delta.count()
             self._seen_rows += n_new
-            self._tick("mat-seen-delta", wave)
             seq_base += n_allowed
+            n_init_pending = n_init_pending - n_sched_init + n_retried_init + n_allowed_init
 
             retried = out.filter(F.col("outcome") == "retry").select(*PENDING_COLS)
             new_pending = (
@@ -478,8 +640,10 @@ class CrawlEngine:
             results_parts.append(results_df)
             terminal_parts.append(terminal_df)
 
-            n_pending_after = pending.count()
-            self._tick("count-pending", wave)
+            # arithmetic identity — no action: the new frontier is exactly
+            # (previous pending − selected) ∪ retried ∪ admitted
+            n_pending_after = n_pending - n_sched + n_retried + n_allowed
+            n_pending = n_pending_after
             metrics.append(
                 {
                     "wave": wave,
@@ -500,6 +664,8 @@ class CrawlEngine:
                         "seq_base": seq_base,
                         "stopped": stopped,
                         "metrics": metrics,
+                        "n_pending": n_pending,
+                        "n_init_pending": n_init_pending,
                     }
                 )
                 out.unpersist()

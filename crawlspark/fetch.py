@@ -33,9 +33,10 @@ def resolve_redirects(pages: DataFrame, max_hops: int = MAX_REDIRECT_HOPS) -> Da
     redirect limit); pages still redirecting after max_hops surface as 508.
     One-time batch cost, amortized over every wave.
     """
+    has_html = "body_html" in pages.columns
     resolved = pages
     for _ in range(max_hops):
-        tgt = pages.select(
+        tgt_cols = [
             F.col("url").alias("_t_url"),
             F.col("status").alias("_t_status"),
             F.col("flaky_attempts").alias("_t_flaky"),
@@ -43,34 +44,44 @@ def resolve_redirects(pages: DataFrame, max_hops: int = MAX_REDIRECT_HOPS) -> Da
             F.col("out_links").alias("_t_links"),
             F.col("redirect_to").alias("_t_next"),
             F.col("latency_us").alias("_t_lat"),
-        )
-        resolved = (
-            resolved.join(tgt, resolved["redirect_to"] == tgt["_t_url"], "left")
-            .select(
-                "url_hash",
-                "url",
-                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_status"))
-                .when(F.col("redirect_to").isNotNull(), F.lit(404))
-                .otherwise(F.col("status"))
-                .alias("status"),
-                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_flaky"))
-                .when(F.col("redirect_to").isNotNull(), F.lit(0))
-                .otherwise(F.col("flaky_attempts"))
-                .alias("flaky_attempts"),
-                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_img"))
+        ]
+        if has_html:
+            tgt_cols.append(F.col("body_html").alias("_t_html"))
+        tgt = pages.select(*tgt_cols)
+        out_cols = [
+            "url_hash",
+            "url",
+            F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_status"))
+            .when(F.col("redirect_to").isNotNull(), F.lit(404))
+            .otherwise(F.col("status"))
+            .alias("status"),
+            F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_flaky"))
+            .when(F.col("redirect_to").isNotNull(), F.lit(0))
+            .otherwise(F.col("flaky_attempts"))
+            .alias("flaky_attempts"),
+            F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_img"))
+            .when(F.col("redirect_to").isNotNull(), F.lit(None))
+            .otherwise(F.col("body_image_id"))
+            .alias("body_image_id"),
+            F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_links"))
+            .when(F.col("redirect_to").isNotNull(), F.lit(None))
+            .otherwise(F.col("out_links"))
+            .alias("out_links"),
+            F.when(F.col("redirect_to").isNotNull(), F.col("_t_next"))
+            .otherwise(F.lit(None))
+            .alias("redirect_to"),
+            (F.col("latency_us") + F.coalesce(F.when(F.col("redirect_to").isNotNull(), F.col("_t_lat")), F.lit(0))).alias("latency_us"),
+        ]
+        if has_html:
+            out_cols.append(
+                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_html"))
                 .when(F.col("redirect_to").isNotNull(), F.lit(None))
-                .otherwise(F.col("body_image_id"))
-                .alias("body_image_id"),
-                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_links"))
-                .when(F.col("redirect_to").isNotNull(), F.lit(None))
-                .otherwise(F.col("out_links"))
-                .alias("out_links"),
-                F.when(F.col("redirect_to").isNotNull(), F.col("_t_next"))
-                .otherwise(F.lit(None))
-                .alias("redirect_to"),
-                (F.col("latency_us") + F.coalesce(F.when(F.col("redirect_to").isNotNull(), F.col("_t_lat")), F.lit(0))).alias("latency_us"),
+                .otherwise(F.col("body_html"))
+                .alias("body_html")
             )
-        )
+        resolved = resolved.join(
+            tgt, resolved["redirect_to"] == tgt["_t_url"], "left"
+        ).select(*out_cols)
     # chains longer than max_hops: loop exhausted → 508
     return resolved.withColumn(
         "status",
@@ -82,6 +93,7 @@ def fetch_simulate(
     wave: DataFrame,
     pages_resolved: DataFrame,
     response_cache: DataFrame | None = None,
+    carry_body_html: bool = False,
 ) -> DataFrame:
     """One fetch attempt per selected row: equi-join on url_hash.
 
@@ -95,17 +107,38 @@ def fetch_simulate(
     process/expansion exactly like fetched ones. Only successful responses
     ever enter the cache (scrapemate.go:370-374), so a hit is always ok.
     """
-    p = pages_resolved.select(
+    p_cols = [
         "url_hash",
         F.col("status").alias("page_status"),
         "flaky_attempts",
         "body_image_id",
         "out_links",
         "latency_us",
-    )
+    ]
+    if carry_body_html and "body_html" in pages_resolved.columns:
+        p_cols.append("body_html")
+    p = pages_resolved.select(*p_cols)
+    if "timeout_us" not in wave.columns:
+        wave = wave.withColumn("timeout_us", F.lit(None).cast("long"))
     joined = wave.join(p, "url_hash", "left")
+    # F-17 per-job timeout (job.go:259-262, jshttp.go:219-226): the request
+    # aborts when the page's (redirect-chain-resolved) latency exceeds the
+    # job's timeout — status 599 sentinel, same retry path as a 5xx. Checked
+    # before flakiness: a timed-out request never observes its response.
+    joined = joined.withColumn(
+        "_timed_out",
+        F.col("page_status").isNotNull()
+        & F.col("timeout_us").isNotNull()
+        & (F.col("timeout_us") > 0)
+        & (F.col("latency_us") > F.col("timeout_us")),
+    ).withColumn(
+        # elapsed time of a timed-out request is the timeout itself
+        "latency_us",
+        F.when(F.col("_timed_out"), F.col("timeout_us")).otherwise(F.col("latency_us")),
+    )
     sim_status = (
         F.when(F.col("page_status").isNull(), F.lit(404))
+        .when(F.col("_timed_out"), F.lit(599))
         .when(F.col("retry_count") < F.coalesce(F.col("flaky_attempts"), F.lit(0)), F.lit(503))
         .otherwise(F.col("page_status"))
     )
@@ -139,7 +172,7 @@ def fetch_simulate(
     return (
         joined.withColumn("ok", ok)
         .withColumn("attempts", (F.col("retry_count") + 1).cast("int"))
-        .drop("page_status")
+        .drop("page_status", "_timed_out")
     )
 
 
@@ -175,18 +208,26 @@ def apply_outcomes(fetched: DataFrame, wave_ts_us: int) -> DataFrame:
         .when(is_retry_pol & can_retry, F.lit("retry"))
         .otherwise(F.lit("failed"))
     )
-    new_retry_count = F.when(outcome == "retry", F.col("retry_count") + 1).otherwise(
-        F.col("retry_count")
+    # pin the incremented count in its own column FIRST: column expressions
+    # resolve lazily against the frame they are applied to, so computing the
+    # backoff from `retry_count + 1` after retry_count has been overwritten
+    # would silently double-increment inside the delay lookup
+    out = fetched.withColumn("outcome", outcome).withColumn(
+        "_rc_next",
+        F.when(F.col("outcome") == "retry", F.col("retry_count") + 1)
+        .otherwise(F.col("retry_count"))
+        .cast("int"),
     )
     delay = F.when(
         F.col("retry_policy") == C.REFRESH_IP, F.lit(0).cast("long")
-    ).otherwise(backoff_delay_expr(new_retry_count, F.col("max_retry_delay_us")))
-    new_not_before = F.when(
-        outcome == "retry", F.lit(wave_ts_us) + delay
-    ).otherwise(F.col("not_before_us"))
-
+    ).otherwise(backoff_delay_expr(F.col("_rc_next"), F.col("max_retry_delay_us")))
     return (
-        fetched.withColumn("outcome", outcome)
-        .withColumn("retry_count", new_retry_count.cast("int"))
-        .withColumn("not_before_us", new_not_before.cast("long"))
+        out.withColumn(
+            "not_before_us",
+            F.when(F.col("outcome") == "retry", F.lit(wave_ts_us) + delay)
+            .otherwise(F.col("not_before_us"))
+            .cast("long"),
+        )
+        .withColumn("retry_count", F.col("_rc_next"))
+        .drop("_rc_next")
     )

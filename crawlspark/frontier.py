@@ -68,29 +68,98 @@ def with_global_rank(
     return ranked, acc
 
 
-def select_wave(eligible_polite: DataFrame, wave_budget: int):
+def with_inspark_rank(
+    df: DataFrame, order_cols=ORDER_COLS, rank_col: str = "rank", n_parts: int | None = None
+) -> DataFrame:
+    """Like with_global_rank but with NO driver action: the per-partition
+    offsets are a running-sum window over the tiny (≤ n_parts rows) count
+    aggregate, broadcast-joined back. The whole rank is one lazy plan, so it
+    fuses into whichever downstream action consumes it — this is what lets a
+    BSP wave run with only two driver round-trips (engine.run)."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def ranked_within(
+    df: DataFrame, part_cols, order_cols, rank_col: str = "rank", n_parts: int | None = None
+) -> DataFrame:
+    """row_number() within `part_cols` WITHOUT funnelling each group through
+    one task. A plain Window.partitionBy(priority) with 3 priority values is
+    three single-task sorts of N/3 rows — at 100× one executor sorts 10^9
+    rows. Here: range-partition on (part_cols, order_cols), rank within
+    (physical partition, group), then add per-(partition, group) offsets
+    computed from a tiny count aggregate — all lazy, no driver action."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pcols = [F.col(c) for c in part_cols]
+    ocols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n_parts, *pcols, *ocols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid", *pcols).orderBy(*ocols))
+    )
+    offsets = (
+        parted.groupBy("_pid", *pcols)
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy(*pcols)
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    return (
+        parted.join(F.broadcast(offsets), ["_pid", *part_cols])
+        .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def select_wave(eligible_polite: DataFrame, wave_budget: int) -> DataFrame:
     """Global budget: top-`wave_budget` by (priority, seq) = strict priority
     with FIFO inside each level (the nested-select semantics of memory.go:37-64).
 
-    Rank first (scalably), then filter — when the budget is not binding this
-    is just the rank projection. The returned frame carries `rank`, which is
-    the wave's crawl-order position (used by goldens + child seq assignment).
-    Returns (wave_df, n_selected).
-    """
-    ranked, total = with_global_rank(eligible_polite, ORDER_COLS, "rank")
-    return ranked.filter(F.col("rank") <= wave_budget), min(total, wave_budget)
-
-
-def assign_child_seq(children: DataFrame, seq_base: int):
-    """Deterministic FIFO seq for newly expanded jobs: parents push children
-    in completion-rank order, links in document order
-    (finishJob→pushJobs, scrapemate.go:578-603; pinned by
-    scrapemate_test.go:445-534 parent-before-child ordering).
-    Returns (df, n_children)."""
-    ranked, total = with_global_rank(children, ("parent_rank", "link_pos"), "_seqrank")
-    return (
-        ranked.withColumn(
-            "seq", (F.lit(seq_base) + F.col("_seqrank") - 1).cast("long")
-        ).drop("_seqrank"),
-        total,
-    )
+    Rank first (scalably, lazily), then filter — when the budget is not
+    binding this is just the rank projection. The returned frame carries
+    `rank`, the wave's crawl-order position (used by goldens + child seq
+    assignment). Fully lazy: the wave's selected-count falls out of the
+    fetch-outcome aggregate instead of a dedicated action."""
+    ranked = with_inspark_rank(eligible_polite, ORDER_COLS, "rank")
+    return ranked.filter(F.col("rank") <= wave_budget)

@@ -29,6 +29,7 @@ import hashlib
 from dataclasses import dataclass, field
 
 from crawlspark import constants as C
+from crawlspark.jobtypes import DEFAULT_JOB_TYPE, default_specs
 from crawlspark.pyparity import cache_key_py, canon_of, host_of
 from crawlspark.synth import World
 
@@ -49,6 +50,10 @@ class OJob:
     max_retry_delay_us: int
     accept_lo: int = 200
     accept_hi: int = 299
+    timeout_us: int | None = None  # F-17 (job.go:259-262)
+    use_in_results: bool = True  # O-1 (job.go:112-114)
+    is_init: bool = False  # F-5 (scrapemate.go:489-523)
+    job_type: str = DEFAULT_JOB_TYPE  # P-2 (job.go:46-47)
     retry_count: int = 0
     not_before_us: int = 0
     state: str = C.ST_PENDING
@@ -76,10 +81,42 @@ def _norm_priority(p: int) -> int:
     return p if p in C.KNOWN_PRIORITIES else C.PRIORITY_HIGH
 
 
+# F-22 private-network guard — exact twin of politeness.PRIVATE_HOST_RE
+# (local_proxy.go:375-386: refuse loopback/private hosts)
+_PRIVATE_HOST_RE = __import__("re").compile(
+    r"^(localhost$|127\.|0\.0\.0\.0$|10\.|192\.168\.|169\.254\."
+    r"|172\.(1[6-9]|2[0-9]|3[01])\.|::1$|\[::1\]$)"
+)
+
+
+def _is_private(host: str) -> bool:
+    return bool(_PRIVATE_HOST_RE.match(host or ""))
+
+
+def _path_of(url_canon: str) -> str:
+    """Path component, query stripped — twin of F.parse_url(url, 'PATH')."""
+    parts = url_canon.split("/", 3)
+    path = "/" + parts[3] if len(parts) > 3 else "/"
+    return path.split("?", 1)[0]
+
+
 def _robots_blocked(robots: dict[str, list[str]], host: str, url_canon: str) -> bool:
+    if _is_private(host):
+        return True
     prefixes = robots.get(host, [])
-    path = "/" + url_canon.split("/", 3)[3] if url_canon.count("/") >= 3 else "/"
+    path = _path_of(url_canon)
     return any(path.startswith(p) for p in prefixes)
+
+
+def _match_child_rule(specs, parent_type: str, url_canon: str):
+    """First matching child rule of the parent's type (P-2 dispatch); None
+    means the link is ignored — never becomes a job, never enters seen."""
+    spec = specs.get(parent_type) or default_specs()[DEFAULT_JOB_TYPE]
+    path = _path_of(url_canon)
+    for r in spec.child_rules:
+        if not r.path_prefix or path.startswith(r.path_prefix):
+            return r
+    return None
 
 
 def run_oracle(
@@ -88,9 +125,11 @@ def run_oracle(
     default_host_budget: int = C.DEFAULT_HOST_BUDGET,
     wave_period_us: int = 500_000,
     max_waves: int = C.DEFAULT_MAX_WAVES,
+    job_types: dict | None = None,
 ) -> GoldenCrawl:
     robots = {r["host"]: r["disallow_prefixes"] for r in world.robots}
     budgets = {p["host"]: p["max_per_wave"] for p in world.politeness}
+    specs = job_types or default_specs()
 
     g = GoldenCrawl()
     seen_keys: set[str] = set()
@@ -134,6 +173,12 @@ def run_oracle(
                 max_retry_delay_us=s["max_retry_delay_us"] or C.DEFAULT_MAX_RETRY_DELAY_US,
                 accept_lo=s.get("accept_lo") or 200,
                 accept_hi=s.get("accept_hi") or 299,
+                timeout_us=s.get("timeout_us"),
+                use_in_results=(
+                    True if s.get("use_in_results") is None else bool(s["use_in_results"])
+                ),
+                is_init=bool(s.get("is_init") or False),
+                job_type=s.get("job_type") or DEFAULT_JOB_TYPE,
             ),
             wave=0,
         )
@@ -144,8 +189,15 @@ def run_oracle(
         wave += 1
         wave_ts = wave * wave_period_us
 
+        # F-5 init phase: while any init job is pending, ONLY init jobs run —
+        # BFS to exhaustion before workers (scrapemate.go:219-221, 489-523)
+        init_phase = any(j.state == C.ST_PENDING and j.is_init for j in frontier)
         eligible = [
-            j for j in frontier if j.state == C.ST_PENDING and j.not_before_us <= wave_ts
+            j
+            for j in frontier
+            if j.state == C.ST_PENDING
+            and j.not_before_us <= wave_ts
+            and (j.is_init or not init_phase)
         ]
         if not eligible:
             if any(j.state == C.ST_PENDING for j in frontier):
@@ -171,46 +223,66 @@ def run_oracle(
         for rank, j in enumerate(selected, start=1):
             j.attempts += 1
             g.crawl_order.append(
-                {"wave": wave, "rank": rank, "job_id": j.job_id, "url_canon": j.url_canon}
+                {"wave": wave, "rank": rank, "job_id": j.job_id,
+                 "url_canon": j.url_canon, "is_init": j.is_init}
             )
 
-            # fetch simulation with transparent redirect follow (Go http client)
+            # fetch simulation with transparent redirect follow (Go http client);
+            # latency accumulates along the redirect chain (fetch.resolve_redirects)
             page = world.pages.get(j.url_canon)
-            hops = 0
-            while page is not None and page.redirect_to and hops < MAX_REDIRECT_HOPS:
-                page = world.pages.get(canon_of(page.redirect_to))
-                hops += 1
+            missing_target = False
             if page is None:
-                status = 404
-            elif page.redirect_to:
-                status = 508  # redirect loop exhausted
-            elif j.retry_count < page.flaky_attempts:
-                status = 503
+                status, lat = 404, 0
             else:
-                status = page.status
+                lat, hops = page.latency_us, 0
+                while page.redirect_to and hops < MAX_REDIRECT_HOPS:
+                    nxt = world.pages.get(canon_of(page.redirect_to))
+                    hops += 1
+                    if nxt is None:
+                        missing_target = True  # resolve_redirects → 404
+                        break
+                    lat += nxt.latency_us
+                    page = nxt
+                timed_out = j.timeout_us is not None and j.timeout_us > 0 and lat > j.timeout_us
+                if timed_out:
+                    status = 599  # F-17: aborted before any response is observed
+                elif missing_target:
+                    status = 404
+                elif page.redirect_to:
+                    status = 508  # redirect loop exhausted
+                elif j.retry_count < page.flaky_attempts:
+                    status = 503
+                else:
+                    status = page.status
             # DoCheckResponse: per-job accept range (default 2xx,
             # job.go:180-188; custom predicate scrapemate_test.go:710-732)
             ok = j.accept_lo <= status <= j.accept_hi
 
             if ok:
                 j.state = C.ST_DONE
-                g.results.append(
-                    {
-                        "job_id": j.job_id,
-                        "parent_id": j.parent_id,
-                        "url_canon": j.url_canon,
-                        "wave": wave,
-                        "rank": rank,
-                        "status": status,
-                        "attempts": j.attempts,
-                        "image_id": page.body_image_id,
-                    }
-                )
+                # O-1 result-emit gate (scrapemate.go:585-591) + F-5 init
+                # results discarded (scrapemate.go:489-523) + P-2 per-type
+                # emit (collect jobs return nil data); expansion and
+                # seen/cache bookkeeping are NOT gated
+                emit_type = specs[j.job_type].emit_result if j.job_type in specs else True
+                if j.use_in_results and not j.is_init and emit_type:
+                    g.results.append(
+                        {
+                            "job_id": j.job_id,
+                            "parent_id": j.parent_id,
+                            "url_canon": j.url_canon,
+                            "wave": wave,
+                            "rank": rank,
+                            "status": status,
+                            "attempts": j.attempts,
+                            "image_id": page.body_image_id if page else None,
+                        }
+                    )
                 g.retry_trace.append(
                     {"job_id": j.job_id, "attempts": j.attempts, "final_state": C.ST_DONE}
                 )
                 n_done += 1
-                if page.out_links:
+                if page is not None and page.out_links:
                     children_buffer.append((rank, j.priority, j, list(page.out_links)))
                 continue
 
@@ -256,6 +328,11 @@ def run_oracle(
         for rank, _prio, parent, links in sorted(children_buffer, key=lambda t: t[0]):
             for pos, raw in enumerate(links):
                 canon = canon_of(raw)
+                # P-2 dispatch: the parent type's rules decide whether this
+                # link becomes a job and with which type/config overrides
+                rule = _match_child_rule(specs, parent.job_type, canon)
+                if rule is None:
+                    continue  # ignored by Process — not a job, not "seen"
                 ck = cache_key_py("GET", canon)
                 if ck in seen_keys:
                     n_dedup += 1
@@ -268,13 +345,25 @@ def run_oracle(
                         url_canon=canon,
                         cache_key=ck,
                         host=host_of(canon),
-                        priority=parent.priority,
+                        priority=_norm_priority(
+                            rule.priority if rule.priority is not None else parent.priority
+                        ),
                         seq=-1,
-                        max_retries=parent.max_retries,
+                        max_retries=(
+                            rule.max_retries if rule.max_retries is not None else parent.max_retries
+                        ),
                         retry_policy=parent.retry_policy,
                         max_retry_delay_us=parent.max_retry_delay_us,
                         accept_lo=parent.accept_lo,
                         accept_hi=parent.accept_hi,
+                        timeout_us=(
+                            rule.timeout_us if rule.timeout_us is not None else parent.timeout_us
+                        ),
+                        use_in_results=(
+                            rule.use_in_results if rule.use_in_results is not None else True
+                        ),  # fresh jobs default true (job.go:112-114)
+                        is_init=parent.is_init,  # init descendants stay init
+                        job_type=rule.child_type,
                         not_before_us=wave_ts,
                     ),
                     wave=wave,

@@ -22,8 +22,24 @@ from pyspark.sql import functions as F
 from crawlspark import constants as C
 
 
-def robots_gate(jobs: DataFrame, robots: DataFrame) -> DataFrame:
-    """Split jobs into (allowed, blocked) by longest-prefix disallow match.
+# F-22 private-network guard (reference: refuse CONNECT to loopback/private
+# IPs, /root/reference/adapters/fetchers/jshttp/local_proxy.go:375-386).
+# Hostname/literal-IP patterns only — admission must not do DNS. Kept in
+# exact sync with the pure-Python twin in crawlspark.oracle.
+PRIVATE_HOST_RE = (
+    r"^(localhost$|127\.|0\.0\.0\.0$|10\.|192\.168\.|169\.254\."
+    r"|172\.(1[6-9]|2[0-9]|3[01])\.|::1$|\[::1\]$)"
+)
+
+
+def is_private_host(host) -> "F.Column":
+    """True for loopback / RFC-1918 / link-local hosts (F-22 guard)."""
+    return F.coalesce(host, F.lit("")).rlike(PRIVATE_HOST_RE)
+
+
+def with_robots_flag(jobs: DataFrame, robots: DataFrame) -> DataFrame:
+    """Row-preserving admission check: adds `_blocked` when either the host's
+    robots disallow-prefixes match the path OR the host is private (F-22).
 
     robots is per-host and small relative to the frontier → broadcast join.
     Path extraction + prefix match are built-ins (no UDF).
@@ -35,9 +51,17 @@ def robots_gate(jobs: DataFrame, robots: DataFrame) -> DataFrame:
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: F.startswith(path, p),
     )
-    with_flag = joined.withColumn("_blocked", F.coalesce(blocked_expr, F.lit(False)))
-    allowed = with_flag.filter(~F.col("_blocked")).drop("_blocked", "disallow_prefixes")
-    blocked = with_flag.filter(F.col("_blocked")).drop("_blocked", "disallow_prefixes")
+    return joined.withColumn(
+        "_blocked",
+        F.coalesce(blocked_expr, F.lit(False)) | is_private_host(F.col("host")),
+    ).drop("disallow_prefixes")
+
+
+def robots_gate(jobs: DataFrame, robots: DataFrame) -> DataFrame:
+    """Split jobs into (allowed, blocked) by disallow-prefix match."""
+    with_flag = with_robots_flag(jobs, robots)
+    allowed = with_flag.filter(~F.col("_blocked")).drop("_blocked")
+    blocked = with_flag.filter(F.col("_blocked")).drop("_blocked")
     return allowed, blocked
 
 

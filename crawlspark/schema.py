@@ -33,6 +33,14 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("retry_policy", T.IntegerType(), False),
         T.StructField("max_retry_delay_us", T.LongType(), False),
         T.StructField("timeout_us", T.LongType(), True),
+        # O-1 result-emit gate (job.go:112-114, gate at scrapemate.go:585-591)
+        T.StructField("use_in_results", T.BooleanType(), False),
+        # F-5 init-job BFS: init jobs (and their descendants) run to
+        # exhaustion before regular jobs; their results are discarded
+        # (scrapemate.go:489-523, comment 166-172)
+        T.StructField("is_init", T.BooleanType(), False),
+        # P-2 per-job-type Process dispatch (job.go:46-47)
+        T.StructField("job_type", T.StringType(), False),
         T.StructField("retry_count", T.IntegerType(), False),
         T.StructField("not_before_us", T.LongType(), False),  # virtual-time backoff gate
         T.StructField("state", T.StringType(), False),
@@ -68,6 +76,9 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("out_links", T.ArrayType(T.StringType()), True),
         T.StructField("redirect_to", T.StringType(), True),
         T.StructField("latency_us", T.LongType(), False),
+        # optional raw HTML body (P-3 link-extraction source); None unless
+        # the world is generated with bodies
+        T.StructField("body_html", T.StringType(), True),
     ]
 )
 
@@ -159,6 +170,10 @@ SEEDS_SCHEMA = T.StructType(
         T.StructField("max_retry_delay_us", T.LongType(), False),
         T.StructField("accept_lo", T.IntegerType(), True),  # DoCheckResponse range
         T.StructField("accept_hi", T.IntegerType(), True),  # (null → 200-299 default)
+        T.StructField("timeout_us", T.LongType(), True),  # F-17 (null → no timeout)
+        T.StructField("use_in_results", T.BooleanType(), True),  # O-1 (null → true)
+        T.StructField("is_init", T.BooleanType(), True),  # F-5 (null → false)
+        T.StructField("job_type", T.StringType(), True),  # P-2 (null → "page")
         T.StructField("seed_order", T.LongType(), False),  # push order (FIFO parity)
     ]
 )

@@ -224,6 +224,43 @@ def prefilter_candidates(
     return candidates.mapInPandas(check, schema=out_schema)
 
 
+def mark_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: PartitionedBloom | None = None,
+    cuckoo: CuckooFilter | None = None,
+    key: str = "cache_key",
+) -> DataFrame:
+    """Row-preserving seen probe: adds a `_seen` boolean instead of dropping
+    rows, so the caller can count candidates/fresh/admitted in ONE aggregate
+    action (the anti-join variant forces a separate count per subset).
+
+    `seen` holds unique keys by construction — every wave's delta excludes
+    prior keys and is first-occurrence-deduped within the wave — so the left
+    join is row-preserving. Tier semantics match dedup_against_seen: a
+    candidate flagged definitely-new by the probabilistic tiers skips the
+    exact join's shuffle entirely; the join stays the authority.
+    """
+    probe = seen.select(key).withColumn("_in_seen", F.lit(True))
+    tagged = prefilter_candidates(candidates, bloom, cuckoo)
+    if bloom is None and cuckoo is None:
+        joined = tagged.drop("maybe_seen").join(probe, key, "left")
+        return joined.withColumn(
+            "_seen", F.coalesce(F.col("_in_seen"), F.lit(False))
+        ).drop("_in_seen")
+    fresh_fast = (
+        tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        .withColumn("_seen", F.lit(False))
+    )
+    suspects = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    checked = (
+        suspects.join(probe, key, "left")
+        .withColumn("_seen", F.coalesce(F.col("_in_seen"), F.lit(False)))
+        .drop("_in_seen")
+    )
+    return fresh_fast.unionByName(checked)
+
+
 def dedup_against_seen(
     candidates: DataFrame,
     seen: DataFrame,

@@ -38,6 +38,14 @@ class PageSpec:
     out_links: list[str] = field(default_factory=list)  # raw (pre-canon) link strings
     redirect_to: str | None = None
     latency_us: int = 1000
+    body_html: str | None = None  # P-3 link-extraction source (optional)
+
+
+def render_body_html(url: str, links: list[str]) -> str:
+    """Deterministic HTML body whose anchors are exactly `links` in order —
+    the P-3 extraction regexp must recover them bit-for-bit."""
+    anchors = "".join(f'<a href="{u}">link {i}</a>' for i, u in enumerate(links))
+    return f'<html><body><h1>{url}</h1><div class="links">{anchors}</div></body></html>'
 
 
 @dataclass
@@ -215,6 +223,10 @@ def make_world(
                 "max_retry_delay_us": C.DEFAULT_MAX_RETRY_DELAY_US,
                 "accept_lo": 200,
                 "accept_hi": 299,
+                "timeout_us": None,
+                "use_in_results": True,
+                "is_init": False,
+                "job_type": "page",
                 "seed_order": k,
             }
         )
@@ -435,9 +447,13 @@ def images_df(spark, world: World):
     )
 
 
-def pages_df(spark, world: World):
+def pages_df(spark, world: World, with_body_html: bool = False):
     """Pages table with url_hash computed IN SPARK (xxhash64 parity with the
-    frontier's seen keys — no Python xxhash implementation exists or is needed)."""
+    frontier's seen keys — no Python xxhash implementation exists or is needed).
+
+    with_body_html=True renders each page's out_links into an HTML body (the
+    P-3 extraction source) — the engine's regexp must recover the exact list.
+    """
     rows = [
         {
             "url": p.url_canon,
@@ -447,11 +463,23 @@ def pages_df(spark, world: World):
             "out_links": p.out_links,
             "redirect_to": canon_of(p.redirect_to) if p.redirect_to else None,
             "latency_us": p.latency_us,
+            "body_html": (
+                p.body_html
+                if p.body_html is not None
+                else (render_body_html(p.url_canon, p.out_links) if with_body_html else None)
+            ),
         }
         for p in world.pages.values()
     ]
     pdf = pd.DataFrame(rows)
-    df = spark.createDataFrame(pdf, schema="url string, status int, flaky_attempts int, body_image_id string, out_links array<string>, redirect_to string, latency_us bigint")
+    df = spark.createDataFrame(
+        pdf,
+        schema=(
+            "url string, status int, flaky_attempts int, body_image_id string, "
+            "out_links array<string>, redirect_to string, latency_us bigint, "
+            "body_html string"
+        ),
+    )
     from pyspark.sql import functions as F
 
     return df.select(
@@ -463,6 +491,7 @@ def pages_df(spark, world: World):
         "out_links",
         "redirect_to",
         "latency_us",
+        "body_html",
     )
 
 
