@@ -125,12 +125,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- frontier / scheduling semantics (SURVEY.md §2.1 F-1..F-18) ------
     def fifo_within_priority(spark, sf):
-        # F-2: FIFO within a priority channel (memory.go:29-69)
+        # F-2: FIFO within a priority channel (memory.go:29-69). Ranked with
+        # the engine's range-partitioned scheme (frontier.ranked_within) —
+        # Window.partitionBy over 3 priority values would be 3 single-task
+        # sorts, a scale-killer at 100×
+        from crawlspark.frontier import ranked_within
+
         ev = _t(spark, sf, "events").withColumn("priority", _priority_expr())
-        w = Window.partitionBy("priority").orderBy("ts", "event_id")
-        return ev.select(
-            "event_id", "priority", F.row_number().over(w).cast("long").alias("fifo_rank")
-        )
+        return ranked_within(
+            ev, ["priority"], ["ts", "event_id"], "fifo_rank"
+        ).select("event_id", "priority", "fifo_rank")
 
     q["fifo_within_priority"] = fifo_within_priority
 
@@ -214,6 +218,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("source", b.alias("bucket")).distinct()
 
     q["host_bucket_salted"] = host_bucket_salted
+
+    def result_gate(spark, sf):
+        # O-1 result-emit gate + F-5 init-result discard (job.go:112-114,
+        # scrapemate.go:489-523, 585-591): deterministic per-job flags, only
+        # (use_in_results AND NOT is_init) rows reach the results stream
+        ev = _t(spark, sf, "events")
+        use = (F.col("event_id") % 5) != 0
+        is_init = (F.col("event_id") % 7) == 0
+        return ev.select(
+            "event_id", use.alias("use_in_results"), is_init.alias("is_init")
+        ).filter(F.col("use_in_results") & ~F.col("is_init")).select("event_id", "use_in_results")
+
+    q["result_gate"] = result_gate
+
+    def timeout_outcomes(spark, sf):
+        # F-17 per-job timeout (job.go:259-262): latency > timeout_us → 599
+        # sentinel, same retry path as a 5xx
+        ev = _t(spark, sf, "events")
+        lat = (F.col("event_id") * 7919) % 50000
+        to = F.when((F.col("event_id") % 3) == 0, F.lit(20000)).otherwise(F.lit(None))
+        timed_out = to.isNotNull() & (lat > to)
+        return ev.select(
+            "event_id",
+            lat.cast("long").alias("latency_us"),
+            to.cast("long").alias("timeout_us"),
+            F.when(timed_out, 599).otherwise(200).cast("int").alias("status"),
+            F.when(timed_out, to).otherwise(lat).cast("long").alias("elapsed_us"),
+        )
+
+    q["timeout_outcomes"] = timeout_outcomes
+
+    def private_net_guard(spark, sf):
+        # F-22 private-network guard (local_proxy.go:375-386): loopback/
+        # RFC-1918/link-local hosts refused at admission
+        from crawlspark.politeness import is_private_host
+
+        ev = _t(spark, sf, "events")
+        host = (
+            F.when(F.col("event_id") % 6 == 0, F.lit("127.0.0.1"))
+            .when(F.col("event_id") % 6 == 1, F.lit("10.0.0.5"))
+            .when(F.col("event_id") % 6 == 2, F.lit("192.168.1.9"))
+            .when(F.col("event_id") % 6 == 3, F.lit("172.20.1.1"))
+            .when(F.col("event_id") % 6 == 4, F.lit("example.com"))
+            .otherwise(F.lit("172.15.3.3"))
+        )
+        return ev.select(
+            "event_id", host.alias("host"), is_private_host(host).alias("blocked")
+        )
+
+    q["private_net_guard"] = private_net_guard
+
+    def proxy_url_parse(spark, sf):
+        # F-20: NewProxy parsing (proxy.go:32-63, proxy_test.go:10-99) —
+        # default socks5:// scheme, scheme allow-list, credential split
+        from crawlspark.proxy import proxy_parse_cols
+
+        ev = _t(spark, sf, "events")
+        hostpart = F.concat(F.lit("p"), (F.col("event_id") % 20).cast("string"), F.lit(".example.com:1080"))
+        u = (
+            F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("socks5://user:pass@"), hostpart))
+            .when(F.col("event_id") % 7 == 1, F.concat(F.lit("http://"), hostpart))
+            .when(F.col("event_id") % 7 == 2, F.concat(F.lit("user:pass@"), hostpart))
+            .when(F.col("event_id") % 7 == 3, hostpart)
+            .when(F.col("event_id") % 7 == 4, F.concat(F.lit("socks5://user@"), hostpart))
+            .when(F.col("event_id") % 7 == 5, F.concat(F.lit("SOCKS5://user:@"), hostpart))
+            .otherwise(F.concat(F.lit("ftp://user:pass@"), hostpart))
+        )
+        c = proxy_parse_cols(u)
+        return ev.select(
+            "event_id",
+            u.alias("raw"),
+            c["valid"].alias("valid"),
+            c["clean_url"].alias("clean_url"),
+            c["username"].alias("username"),
+            c["password"].alias("password"),
+        )
+
+    q["proxy_url_parse"] = proxy_url_parse
 
     def proxy_round_robin(spark, sf):
         # F-18: Next() = atomic counter % len(proxies) (adapters/proxy/proxy.go:54-60)
@@ -373,6 +455,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_heuristic"] = lang_id_heuristic
 
+    def charshingle_sketch(spark, sf):
+        # winnowing-style doc sketch: top-8 smallest hashes over 8-char
+        # shingles of normalized text — pure Catalyst, zero Python
+        from crawlspark.datapipe.text import charshingle_sketch as sk
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.array_join(
+                F.transform(sk(F.col("text")), lambda x: x.cast("string")), ","
+            ).alias("sketch"),
+        )
+
+    q["charshingle_sketch"] = charshingle_sketch
+
     def doc_fingerprint(spark, sf):
         d = _t(spark, sf, "documents")
         fp = _hash60(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
@@ -452,7 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup"] = embedding_neardup
 
     def lsh_bucket_similarity(spark, sf):
-        # rows-only: sign-bit LSH bucketed exact-cosine pairs (the O(n) path)
+        # sign-bit LSH bucketed exact-cosine pairs (the O(n) path); the
+        # md5-derived hyperplanes are reproduced exactly in the DuckDB oracle
         from crawlspark.datapipe.similarity import lsh_bucket_neighbors
 
         e = _t(spark, sf, "embeddings").withColumn(
@@ -482,7 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["crawl_bsp_end_to_end"] = crawl_bsp_end_to_end
 
     def image_decode_validate(spark, sf):
-        # rows-only: numpy-codec decode + PSNR/phash over the payload table
+        # numpy-codec decode + feature extraction over the payload table;
+        # oracled against a VALUES twin decoded driver-side from the same bytes
         from crawlspark import synth
         from crawlspark.datapipe.multimodal import image_features
 
@@ -494,17 +593,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_decode_validate"] = image_decode_validate
 
     def phash_near_dup(spark, sf):
-        # rows-only: perceptual-hash hamming pairs via 16-bit banding
+        # perceptual-hash hamming pairs via 8×8-bit banding (pigeonhole-exact
+        # for max_dist < 8); oracled against a DuckDB VALUES twin whose
+        # phashes come from the driver-side decode of the same images
         from crawlspark import synth
         from crawlspark.datapipe.multimodal import image_features, phash_hamming_pairs
 
         world = synth.make_world(n_hosts=4, total_pages=60)
         feats = image_features(synth.images_df(spark, world))
-        return phash_hamming_pairs(feats, max_dist=20)
+        return phash_hamming_pairs(feats, max_dist=6)
 
     q["phash_near_dup"] = phash_near_dup
 
     return q
+
+
+def _world_images():
+    """The deterministic image fixtures shared by the image queries and their
+    VALUES-based oracles (driver-side decode of the same bytes)."""
+    from crawlspark import synth
+
+    return synth.make_world(n_hosts=4, total_pages=60).images
 
 
 def oracle_sql() -> dict[str, str]:
@@ -568,6 +677,84 @@ def oracle_sql() -> dict[str, str]:
 
     o["proxy_round_robin"] = """
         SELECT event_id, CAST(event_id % 7 AS INT) AS proxy_id FROM events
+    """
+
+    o["proxy_url_parse"] = """
+        WITH raw AS (
+          SELECT event_id,
+                 CASE event_id % 7
+                   WHEN 0 THEN 'socks5://user:pass@' || h
+                   WHEN 1 THEN 'http://' || h
+                   WHEN 2 THEN 'user:pass@' || h
+                   WHEN 3 THEN h
+                   WHEN 4 THEN 'socks5://user@' || h
+                   WHEN 5 THEN 'SOCKS5://user:@' || h
+                   ELSE 'ftp://user:pass@' || h END AS raw
+          FROM (SELECT event_id, 'p' || CAST(event_id % 20 AS VARCHAR) || '.example.com:1080' AS h
+                FROM events)),
+        full_u AS (
+          SELECT event_id, raw,
+                 CASE WHEN strpos(raw, '://') > 0 THEN raw ELSE 'socks5://' || raw END AS fu
+          FROM raw),
+        parts AS (
+          SELECT event_id, raw,
+                 lower(split_part(fu, '://', 1)) AS scheme,
+                 split_part(fu, '://', 2) AS rest
+          FROM full_u),
+        auth AS (
+          SELECT event_id, raw, scheme, rest,
+                 regexp_replace(rest, '^.*@', '') AS host,
+                 CASE WHEN length(rest) > length(regexp_replace(rest, '^.*@', ''))
+                      THEN substr(rest, 1, length(rest) - length(regexp_replace(rest, '^.*@', '')) - 1)
+                      ELSE '' END AS userinfo
+          FROM parts)
+        SELECT event_id, raw,
+               scheme IN ('socks5','http','https','socks5h') AS valid,
+               CASE WHEN scheme IN ('socks5','http','https','socks5h')
+                    THEN scheme || '://' || host END AS clean_url,
+               CASE WHEN scheme IN ('socks5','http','https','socks5h')
+                    THEN split_part(userinfo, ':', 1) END AS username,
+               CASE WHEN scheme IN ('socks5','http','https','socks5h')
+                    THEN CASE WHEN strpos(userinfo, ':') > 0
+                              THEN substr(userinfo, strpos(userinfo, ':') + 1)
+                              ELSE '' END END AS password
+        FROM auth
+    """
+
+    o["result_gate"] = """
+        SELECT event_id, (event_id % 5) != 0 AS use_in_results
+        FROM events
+        WHERE (event_id % 5) != 0 AND NOT ((event_id % 7) = 0)
+    """
+
+    o["timeout_outcomes"] = """
+        WITH t AS (
+          SELECT event_id,
+                 (event_id * 7919) % 50000 AS lat,
+                 CASE WHEN event_id % 3 = 0 THEN 20000 END AS tmo
+          FROM events)
+        SELECT event_id,
+               CAST(lat AS BIGINT) AS latency_us,
+               CAST(tmo AS BIGINT) AS timeout_us,
+               CAST(CASE WHEN tmo IS NOT NULL AND lat > tmo THEN 599 ELSE 200 END AS INT) AS status,
+               CAST(CASE WHEN tmo IS NOT NULL AND lat > tmo THEN tmo ELSE lat END AS BIGINT) AS elapsed_us
+        FROM t
+    """
+
+    # keep the regex literally identical to crawlspark.politeness.PRIVATE_HOST_RE
+    _PRIV_RE = (
+        r"^(localhost$|127\.|0\.0\.0\.0$|10\.|192\.168\.|169\.254\."
+        r"|172\.(1[6-9]|2[0-9]|3[01])\.|::1$|\[::1\]$)"
+    )
+    o["private_net_guard"] = f"""
+        WITH h AS (
+          SELECT event_id,
+                 CASE event_id % 6
+                   WHEN 0 THEN '127.0.0.1' WHEN 1 THEN '10.0.0.5'
+                   WHEN 2 THEN '192.168.1.9' WHEN 3 THEN '172.20.1.1'
+                   WHEN 4 THEN 'example.com' ELSE '172.15.3.3' END AS host
+          FROM events)
+        SELECT event_id, host, regexp_matches(host, '{_PRIV_RE}') AS blocked FROM h
     """
 
     o["metrics_rollup"] = f"""
@@ -670,6 +857,19 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
 
+    o["charshingle_sketch"] = f"""
+        WITH n AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id,
+               array_to_string(
+                 list_sort(list_distinct(
+                   list_transform(range(1, greatest(length(norm) - 7, 0) + 1),
+                                  i -> {_hash60_sql("substr(norm, CAST(i AS INT), 8)")})
+                 ))[1:8], ',') AS sketch
+        FROM n
+    """
+
     _FP_SQL = _hash60_sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
 
     o["doc_fingerprint"] = f"""
@@ -721,10 +921,12 @@ def oracle_sql() -> dict[str, str]:
 
     o["ngram_jaccard_pairs"] = f"""
         {_SHINGLES_SQL},
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
         SELECT doc_a, doc_b,
                round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
@@ -760,6 +962,59 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(a.e, b.e)
                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+    """
+
+    # sign-bit LSH: hyperplane component h[i][j] = ±1 from md5("i|j") — the
+    # exact expression crawlspark.datapipe.similarity.lsh_signature uses; the
+    # projection is rounded to 6 dp on both sides before the sign test
+    _HYPER = _hash60_sql("CAST(bit AS VARCHAR) || '|' || CAST(j AS VARCHAR)")
+    o["lsh_bucket_similarity"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings WHERE vec_id < 300),
+        proj AS (
+          SELECT vec_id, bit,
+                 list_sum(list_transform(range(0, 64),
+                   j -> e[CAST(j AS INT) + 1] *
+                        (CASE WHEN {_HYPER} % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS p
+          FROM v, (SELECT unnest(range(0, 6)) AS bit)),
+        sig AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN round(p, 6) > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id),
+        sv AS (SELECT s.vec_id, s.bucket, v.e FROM sig s JOIN v USING (vec_id))
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+               round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+    # image queries: VALUES twins built from the driver-side decode of the
+    # SAME deterministic fixtures (numpy codecs, crawlspark.image) — pins the
+    # executor decode path AND the banded pair join against DuckDB
+    imgs = _world_images()
+    _FEAT_VALUES = ",".join(
+        f"('{im['image_id']}', {im['w']}, {im['h']}, '{im['fmt']}', {int(im['phash'])}, TRUE)"
+        for im in imgs
+    )
+    o["image_decode_validate"] = f"""
+        SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, fmt,
+               CAST(phash AS BIGINT) AS phash, decode_ok
+        FROM (VALUES {_FEAT_VALUES}) AS t(image_id, w, h, fmt, phash, decode_ok)
+    """
+
+    _PH_VALUES = ",".join(f"('{im['image_id']}', {int(im['phash'])})" for im in imgs)
+    o["phash_near_dup"] = f"""
+        WITH feats(image_id, phash) AS (VALUES {_PH_VALUES}),
+        bands AS (
+          SELECT image_id, phash, band, (phash >> (CAST(band AS INT) * 8)) & 255 AS chunk
+          FROM feats, (SELECT unnest(range(0, 8)) AS band)),
+        cand AS (
+          SELECT DISTINCT a.image_id AS img_a, a.phash AS pa,
+                          b.image_id AS img_b, b.phash AS pb
+          FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+                                   AND a.image_id < b.image_id)
+        SELECT img_a, img_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(pa, pb)) <= 6
     """
 
     o["minhash_lsh_candidates"] = f"""

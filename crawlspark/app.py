@@ -35,6 +35,7 @@ class AppConfig:
     wave_budget: int = C.DEFAULT_WAVE_BUDGET
     default_host_budget: int = C.DEFAULT_HOST_BUDGET
     validate_images: bool = True
+    job_types: dict | None = None  # P-2 registry (name → jobtypes.JobTypeSpec)
     workdir: str | None = None
     writers: list = field(default_factory=list)  # [(kind, path)] kind ∈ csv|json|parquet
 
@@ -96,8 +97,11 @@ class CrawlApp:
         engine_cfg = CrawlConfig(
             wave_budget=self.cfg.wave_budget * max(1, self.cfg.concurrency),
             default_host_budget=self.cfg.default_host_budget,
-            max_waves=self.cfg.max_waves if self.cfg.exit_on_inactivity else self.cfg.max_waves,
+            # the BSP loop always exits at the pending-empty fixpoint (the
+            # batch analog of inactivity-exit); max_waves is the safety guard
+            max_waves=self.cfg.max_waves,
             validate_images=self.cfg.validate_images and images is not None,
+            job_types=self.cfg.job_types,
             workdir=self.cfg.workdir,
         )
         self.engine = CrawlEngine(spark, pages, robots, budgets, images, engine_cfg)
@@ -109,8 +113,10 @@ class CrawlApp:
         results = run.results
         if self.cfg.n_proxies > 0:
             # F-18: Next() = counter % len(proxies) (adapters/proxy/proxy.go:54-60)
+            from crawlspark.proxy import round_robin_expr
+
             results = results.withColumn(
-                "proxy_id", F.pmod(F.col("rank") - 1, F.lit(self.cfg.n_proxies)).cast("int")
+                "proxy_id", round_robin_expr(F.col("rank") - 1, self.cfg.n_proxies)
             )
         for kind, path in self.cfg.writers:
             _WRITERS[kind](os.fspath(path)).write(results)

@@ -45,15 +45,29 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def minhash_signature_arrays(sh: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, sig array<long>[k]): the k seeded 60-bit hashes are computed
+    as k EXPRESSIONS per shingle row and reduced by k min-aggregates in one
+    groupBy — no row explosion. (The round-1 version exploded each shingle
+    into k rows, inflating the pre-agg map stage k×; at 100 TB that k× lands
+    on the shuffle input. md5-derived hashing keeps DuckDB-oracle parity.)"""
+    mins = [
+        F.min(hash60(F.concat_ws("|", F.lit(p), F.col("shingle")))).alias(f"_m{p}")
+        for p in range(k)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"_m{p}") for p in range(k)]).alias("sig"))
+    )
+
+
 def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
-    """k-permutation MinHash via seeded md5-derived 60-bit hashes (portable to
-    the DuckDB oracle). One groupBy; signature = array of k mins."""
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm"),
-        "shingle",
-    ).withColumn("h", hash60(F.concat_ws("|", F.col("perm"), F.col("shingle"))))
-    return seeded.groupBy("doc_id", "perm").agg(F.min("h").alias("minh"))
+    """(doc_id, perm, minh) rows — the array form exploded AFTER aggregation
+    (k small rows per doc, not k× the shingle count)."""
+    return minhash_signature_arrays(sh, k).select(
+        "doc_id", F.posexplode("sig").alias("perm", "minh")
+    )
 
 
 def lsh_candidate_pairs(
@@ -68,24 +82,28 @@ def lsh_candidate_pairs(
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b; est_jaccard =
     fraction of matching minhash permutations. Rows with any shared band
-    bucket become candidates (classic r-rows-per-band banding).
+    bucket become candidates (classic r-rows-per-band banding). Signatures
+    stay as arrays end-to-end: band keys are md5 over array slices and the
+    match fraction is a zip_with — the only shuffles are the one signature
+    groupBy and the bucket self-join.
     """
-    sig = minhash_signatures(shingles(df, text_col, id_col, ngram), k)
-    rows_per_band = k // bands
-    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    band_key = banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("perm"), F.col("minh")))
-                    ),
-                    lambda s: s.getField("minh").cast("string"),
-                ),
-                ",",
-            )
-        ).alias("bucket")
-    )
+    sig = minhash_signature_arrays(shingles(df, text_col, id_col, ngram), k)
+    r = k // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
+                    ",",
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    band_key = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = band_key.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
@@ -94,16 +112,13 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minh").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minh").alias("hb"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     return (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)) / F.lit(k))
-            .alias("est_jaccard")
-        )
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(k)).alias("est_jaccard"))
     )
 
 
@@ -113,10 +128,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.8,
+    df_max: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard over docs that share ≥1 shingle (the verify stage
-    behind LSH candidates — never all-pairs)."""
+    behind LSH candidates — never all-pairs).
+
+    df_max is the document-frequency cap: shingles appearing in more than
+    df_max docs are dropped from the universe (intersection AND sizes) before
+    the self-join. Without it one stop-phrase shingle shared by 10^6 docs
+    makes the shingle-group join quadratic — the standard hot-key guard for
+    similarity joins at scale. The DuckDB oracle applies the identical cap.
+    """
     sh = shingles(df, text_col, id_col, n)
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= df_max
+    )
+    sh = sh.join(rare.select("shingle"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

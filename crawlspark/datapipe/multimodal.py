@@ -115,13 +115,23 @@ def video_frame_sample(clips: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
-def phash_hamming_pairs(feat: DataFrame, max_dist: int = 8) -> DataFrame:
+N_PHASH_BANDS = 8  # 64-bit hash → 8 bands of 8 bits
+
+
+def phash_hamming_pairs(feat: DataFrame, max_dist: int = 7) -> DataFrame:
     """Near-duplicate images by perceptual-hash Hamming distance.
 
-    Banding on the 4 16-bit phash quarters bounds the self-join (two hashes
-    within distance ≤ max_dist < 16 must share at least one exact quarter by
-    pigeonhole when max_dist < 4 quarters) — same LSH-shaped trick as minhash.
+    Banding the 64-bit phash into 8 bands of 8 bits bounds the self-join —
+    two hashes within distance d share at least one EXACT band whenever
+    d < number of bands (pigeonhole: d differing bits can touch at most d
+    bands). max_dist must therefore be < 8; larger radii silently lose
+    recall (the round-1 bug: 4×16-bit bands called with max_dist=20).
     """
+    if max_dist >= N_PHASH_BANDS:
+        raise ValueError(
+            f"max_dist={max_dist} breaks the pigeonhole guarantee of "
+            f"{N_PHASH_BANDS}-band LSH (requires max_dist < {N_PHASH_BANDS})"
+        )
     q = feat.select(
         "image_id",
         "phash",
@@ -129,16 +139,16 @@ def phash_hamming_pairs(feat: DataFrame, max_dist: int = 8) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("quarter"),
+                    F.shiftright(F.col("phash"), i * 8).bitwiseAND(F.lit(0xFF)).alias("chunk"),
                 )
-                for i in range(4)
+                for i in range(N_PHASH_BANDS)
             ])
         ).alias("bq"),
-    ).select("image_id", "phash", F.col("bq.band").alias("band"), F.col("bq.quarter").alias("quarter"))
-    a = q.select(F.col("image_id").alias("img_a"), F.col("phash").alias("pa"), "band", "quarter")
-    b = q.select(F.col("image_id").alias("img_b"), F.col("phash").alias("pb"), "band", "quarter")
+    ).select("image_id", "phash", F.col("bq.band").alias("band"), F.col("bq.chunk").alias("chunk"))
+    a = q.select(F.col("image_id").alias("img_a"), F.col("phash").alias("pa"), "band", "chunk")
+    b = q.select(F.col("image_id").alias("img_b"), F.col("phash").alias("pb"), "band", "chunk")
     return (
-        a.join(b, ["band", "quarter"])
+        a.join(b, ["band", "chunk"])
         .filter(F.col("img_a") < F.col("img_b"))
         .select("img_a", "img_b", "pa", "pb")
         .distinct()

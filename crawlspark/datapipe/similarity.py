@@ -60,20 +60,27 @@ def cosine_topk(
 
 def lsh_signature(vec, n_bits: int = 8, dim: int = 16):
     """b-bit sign signature: bit i = sign(v · h_i) where hyperplane h_i has
-    deterministic ±1 components from md5(i|j) — reproducible anywhere."""
+    deterministic ±1 components from md5(i|j) — reproducible anywhere
+    (including the DuckDB oracle). The projection is rounded to 6 dp before
+    the sign test so cross-engine float summation order can't flip a bit."""
+    # NB: the per-bit constant must be captured via a real closure — a
+    # two-parameter lambda (`lambda j, i=i`) is interpreted by F.transform as
+    # (element, index), silently replacing the bound default with the array
+    # index column and collapsing every bit onto one hyperplane (a round-1
+    # bug that only the DuckDB oracle exposed)
+    def _component(i: int):
+        return lambda j: F.when(
+            F.pmod(hash60(F.concat_ws("|", F.lit(i), j.cast("string"))), F.lit(2)) == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     sig = F.lit(0).cast("long")
     for i in range(n_bits):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, i=i: F.when(
-                F.pmod(hash60(F.concat_ws("|", F.lit(i), j.cast("string"))), F.lit(2)) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        comps = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _component(i))
         proj = F.aggregate(
             F.zip_with(vec, comps, lambda x, h: x * h), F.lit(0.0), lambda a, x: a + x
         )
-        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        sig = sig + F.when(F.round(proj, 6) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
     return sig
 
 

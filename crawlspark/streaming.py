@@ -28,23 +28,30 @@ def admit_with_budget(budget_per_host: int):
     """Stateful admission: first `budget_per_host` jobs per host (by arrival
     batch, (priority, seq) within a batch) pass; the rest are deferred.
     State survives across micro-batches — the streaming analog of the
-    engine's per-wave per-host top-k window."""
+    engine's per-wave per-host top-k window.
+
+    Vectorized: budget admission after the sort is a prefix count —
+    admitted[i] ⇔ used + i < budget — so each Arrow batch is one numpy
+    expression, never a per-row Python loop (BASELINE.json input_hint)."""
+    import numpy as np
 
     def fn(key, pdfs, state: GroupState):
         (host,) = key
         used = state.get[0] if state.exists else 0
-        rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["priority", "seq"])
-            for _, r in pdf.iterrows():
-                ok = used < budget_per_host
-                if ok:
-                    used += 1
-                rows.append((host, r["job_id"], int(r["priority"]), int(r["seq"]), ok))
+            admitted = used + np.arange(len(pdf)) < budget_per_host
+            used += int(admitted.sum())
+            yield pd.DataFrame(
+                {
+                    "host": host,
+                    "job_id": pdf["job_id"].to_numpy(),
+                    "priority": pdf["priority"].astype("int32").to_numpy(),
+                    "seq": pdf["seq"].astype("int64").to_numpy(),
+                    "admitted": admitted,
+                }
+            )
         state.update((used,))
-        yield pd.DataFrame(
-            rows, columns=["host", "job_id", "priority", "seq", "admitted"]
-        )
 
     return fn
 
