@@ -334,6 +334,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize_lag"] = sessionize_lag
 
+    def json_props_extract(spark, sf):
+        # §2.2 JSON fns: get_json_object / from_json / to_json round-trip
+        # over the events.props JSON column
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.from_json("props", "k int")["k"].alias("k_int"),
+            F.to_json(F.from_json("props", "k int")).alias("props_norm"),
+        )
+
+    q["json_props_extract"] = json_props_extract
+
+    def approx_distinct_users(spark, sf):
+        # §2.2 approx distinct: HLL++ estimate asserted within 5% of exact —
+        # the deterministic estimate makes the tolerance check oracle-able
+        ev = _t(spark, sf, "events")
+        return ev.agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            (
+                F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+                <= F.countDistinct("user_id") * 0.05
+            ).alias("approx_ok"),
+        )
+
+    q["approx_distinct_users"] = approx_distinct_users
+
     # ---- join/agg plumbing over the TPC-H-ish star ------------------------
     def q1_lineitem_agg(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -773,6 +800,18 @@ def oracle_sql() -> dict[str, str]:
           FROM events)
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    o["json_props_extract"] = """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               CAST(json(props) AS VARCHAR) AS props_norm
+        FROM events
+    """
+
+    o["approx_distinct_users"] = """
+        SELECT count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok FROM events
     """
 
     o["q1_lineitem_agg"] = """

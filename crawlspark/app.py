@@ -36,6 +36,9 @@ class AppConfig:
     default_host_budget: int = C.DEFAULT_HOST_BUDGET
     validate_images: bool = True
     job_types: dict | None = None  # P-2 registry (name → jobtypes.JobTypeSpec)
+    enable_hooks: bool = False     # F-29 hooks side-output column
+    decode_gzip_body: bool = False  # F-11 transparent gzip body decode
+    screenshots: bool = False      # O-5 binary payload on results
     workdir: str | None = None
     writers: list = field(default_factory=list)  # [(kind, path)] kind ∈ csv|json|parquet
 
@@ -70,7 +73,31 @@ class ParquetWriter:
         results.write.mode("overwrite").parquet(self.path)
 
 
-_WRITERS = {"csv": CsvWriter, "json": JsonWriter, "parquet": ParquetWriter}
+class BinaryWriter:
+    """O-5 screenshot/binary sink (examples/books-to-scrape-simple/
+    main.go:169-186: one screenshots/{UPC}.png per result): writes each
+    result's `screenshot` bytes to {path}/{job_id}.bin via foreachPartition —
+    executor-side file writes, no driver collect."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, results: DataFrame) -> None:
+        if "screenshot" not in results.columns:
+            raise ValueError("binary writer needs a `screenshot` column (CrawlConfig.screenshots)")
+        path = self.path
+        os.makedirs(path, exist_ok=True)
+
+        def dump(rows):
+            for r in rows:
+                if r["screenshot"] is not None:
+                    with open(os.path.join(path, f"{r['job_id']}.bin"), "wb") as f:
+                        f.write(bytes(r["screenshot"]))
+
+        results.select("job_id", "screenshot").foreachPartition(dump)
+
+
+_WRITERS = {"csv": CsvWriter, "json": JsonWriter, "parquet": ParquetWriter, "binary": BinaryWriter}
 
 
 class CrawlApp:
@@ -102,6 +129,11 @@ class CrawlApp:
             max_waves=self.cfg.max_waves,
             validate_images=self.cfg.validate_images and images is not None,
             job_types=self.cfg.job_types,
+            # F-23: the stealth fetch mode attaches a browser header profile
+            fetch_profile="chrome" if self.cfg.fetch_mode == "stealth" else None,
+            enable_hooks=self.cfg.enable_hooks,
+            decode_gzip_body=self.cfg.decode_gzip_body,
+            screenshots=self.cfg.screenshots and images is not None,
             workdir=self.cfg.workdir,
         )
         self.engine = CrawlEngine(spark, pages, robots, budgets, images, engine_cfg)

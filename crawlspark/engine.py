@@ -81,6 +81,15 @@ class CrawlConfig:
     # P-3: extract child links from the response body (regexp over body_html)
     # instead of reading the pre-extracted out_links column
     extract_links_from_body: bool = False
+    # F-23 stealth header profile name (crawlspark.stealth) — merged UNDER
+    # each job's own headers before the fetch; None → plain fetch
+    fetch_profile: str | None = None
+    # F-29 request/response hooks side-output column on results
+    enable_hooks: bool = False
+    # F-11 transparent gzip body decode: pages.body_gz → results.body_text
+    decode_gzip_body: bool = False
+    # O-5: attach payload bytes to results as `screenshot` (table mode only)
+    screenshots: bool = False
     # payload validation plan: "table" joins the images dimension and
     # validates its bytes (correctness fixtures); "synthetic" fuses payload
     # synthesis + validation per unique URL inside one UDF — the 10^10-scale
@@ -153,6 +162,18 @@ class CrawlEngine:
             self._bloom_synced = True
         else:
             self.bloom.add_from_df(seen_delta)
+
+    def _retry_action(self, fn, attempts: int = 3, delay_s: float = 1.0):
+        """F-4 provider-error restart analog (scrapemate.go:532-543: log,
+        sleep 1s, re-call Jobs()): driver-side actions retry transient scan/
+        collect failures; Spark's own task retries cover executor failures."""
+        for a in range(attempts):
+            try:
+                return fn()
+            except Exception:
+                if a == attempts - 1:
+                    raise
+                time.sleep(delay_s)
 
     def _tick(self, label: str, wave: int) -> None:
         if self._profile:
@@ -308,8 +329,8 @@ class CrawlEngine:
             )
             .persist()
         )
-        stats = (
-            parted.groupBy("_pid")
+        stats = self._retry_action(
+            lambda: parted.groupBy("_pid")
             .agg(
                 F.count("*").alias("n_cand"),
                 F.sum(F.when(F.col("_fresh"), 1).otherwise(0)).alias("n_fresh"),
@@ -317,7 +338,7 @@ class CrawlEngine:
                 F.sum(F.when(F.col("_admit") & F.col("is_init"), 1).otherwise(0)).alias("n_admit_init"),
             )
             .collect()
-        )  # ← the stage's single driver action
+        )  # ← the stage's single driver action (F-4 retry-wrapped)
         n_candidates = sum(r["n_cand"] for r in stats)
         n_new = sum(r["n_fresh"] or 0 for r in stats)
         n_allowed_init = sum(r["n_admit_init"] or 0 for r in stats)
@@ -353,6 +374,9 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def _build_results(self, done: DataFrame, wave: int) -> DataFrame:
+        # optional side-outputs when the config enables them: decoded body
+        # text (F-11) and hook events (F-29)
+        opt = [c for c in ("body_text", "hook_events") if c in done.columns]
         base = done.select(
             "job_id", "parent_id", "url_canon",
             F.lit(wave).cast("int").alias("wave"),
@@ -361,6 +385,7 @@ class CrawlEngine:
             "from_cache",
             F.col("body_image_id").alias("image_id"),
             "latency_us",
+            *opt,
         )
         if self.cfg.validate_images and self.cfg.payload_mode == "synthetic":
             from crawlspark.image import fetch_validate_udf
@@ -388,7 +413,7 @@ class CrawlEngine:
         img = F.broadcast(self.images.select("image_id", "bytes", "fmt", "caption", "phash"))
         joined = base.join(img, "image_id", "left")
         v = validate_image_udf(F.col("image_id"), F.col("bytes"), F.col("fmt"))
-        return (
+        out = (
             joined.withColumn("_v", v)
             .withColumn(
                 "psnr_db",
@@ -398,8 +423,13 @@ class CrawlEngine:
                 "pixels_ok",
                 F.when(F.col("image_id").isNull(), F.lit(None)).otherwise(F.col("_v.pixels_ok")),
             )
-            .drop("_v", "bytes", "fmt")
         )
+        if self.cfg.screenshots:
+            # O-5: binary payload attached to the result row (job.go:142-167
+            # DoScreenshot; screenshot sink main.go:169-186) — the payload
+            # bytes stand in for the rendered-page screenshot
+            out = out.withColumn("screenshot", F.col("bytes"))
+        return out.drop("_v", "bytes", "fmt")
 
     # ------------------------------------------------------------------ #
     def _materialize(self, df: DataFrame, table: str, wave: int) -> DataFrame:
@@ -498,11 +528,19 @@ class CrawlEngine:
             polite = politeness.per_host_topk(
                 eligible, self.budgets, cfg.default_host_budget, cfg.salt_buckets
             )
-            wave_sel = frontier.select_wave(polite, cfg.wave_budget).persist()
+            wave_sel = frontier.select_wave(polite, cfg.wave_budget)
+            if cfg.fetch_profile:
+                # F-23: profile headers merged under the job's own
+                from crawlspark import stealth
 
+                wave_sel = stealth.with_profile_headers(
+                    wave_sel, spark, cfg.fetch_profile
+                )
+            wave_sel = wave_sel.persist()
             fetched = FT.fetch_simulate(
                 wave_sel, self.pages, self.response_cache,
                 carry_body_html=cfg.extract_links_from_body,
+                carry_body_gz=cfg.decode_gzip_body,
             )
             if cfg.extract_links_from_body and "body_html" in fetched.columns:
                 # P-3 link extraction from the response body (collect_job.go:
@@ -519,12 +557,22 @@ class CrawlEngine:
                         ),
                     ).otherwise(F.col("out_links")),
                 ).drop("body_html")
+            if cfg.decode_gzip_body and "body_gz" in fetched.columns:
+                # F-11 transparent gzip decode (nethttp.go:76-86); the raw
+                # gz bytes are dropped so only the text enters the wave cache
+                fetched = fetched.withColumn(
+                    "body_text",
+                    F.when(~F.col("from_cache"), FT.gunzip_udf()(F.col("body_gz"))),
+                ).drop("body_gz")
+            if cfg.enable_hooks:
+                # F-29 hooks side-output (request_hooks.go:31-48)
+                fetched = fetched.withColumn("hook_events", FT.hook_events_expr())
             out = FT.apply_outcomes(fetched, wave_ts).persist()
 
             # wave driver action 1 of 2: materializes selection + fetch +
             # outcomes in one job; n_sched falls out as the count total
-            oc_rows = (
-                out.groupBy("outcome", "is_init").agg(F.count("*").alias("n")).collect()
+            oc_rows = self._retry_action(
+                lambda: out.groupBy("outcome", "is_init").agg(F.count("*").alias("n")).collect()
             )
             by_outcome: dict[str, int] = {}
             n_sched_init = n_retried_init = 0

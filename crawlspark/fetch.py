@@ -18,6 +18,7 @@ Reference analogs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,20 +34,21 @@ def resolve_redirects(pages: DataFrame, max_hops: int = MAX_REDIRECT_HOPS) -> Da
     redirect limit); pages still redirecting after max_hops surface as 508.
     One-time batch cost, amortized over every wave.
     """
-    has_html = "body_html" in pages.columns
+    # payload columns share one rule: resolved → target's value, missing
+    # target → null, no redirect → own value (body_html is the P-3 link
+    # source; body_gz the F-11 gzip body)
+    payload_cols = ["body_image_id", "out_links"] + [
+        c for c in ("body_html", "body_gz") if c in pages.columns
+    ]
     resolved = pages
     for _ in range(max_hops):
         tgt_cols = [
             F.col("url").alias("_t_url"),
             F.col("status").alias("_t_status"),
             F.col("flaky_attempts").alias("_t_flaky"),
-            F.col("body_image_id").alias("_t_img"),
-            F.col("out_links").alias("_t_links"),
             F.col("redirect_to").alias("_t_next"),
             F.col("latency_us").alias("_t_lat"),
-        ]
-        if has_html:
-            tgt_cols.append(F.col("body_html").alias("_t_html"))
+        ] + [F.col(c).alias(f"_t_{c}") for c in payload_cols]
         tgt = pages.select(*tgt_cols)
         out_cols = [
             "url_hash",
@@ -59,26 +61,18 @@ def resolve_redirects(pages: DataFrame, max_hops: int = MAX_REDIRECT_HOPS) -> Da
             .when(F.col("redirect_to").isNotNull(), F.lit(0))
             .otherwise(F.col("flaky_attempts"))
             .alias("flaky_attempts"),
-            F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_img"))
+        ] + [
+            F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col(f"_t_{c}"))
             .when(F.col("redirect_to").isNotNull(), F.lit(None))
-            .otherwise(F.col("body_image_id"))
-            .alias("body_image_id"),
-            F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_links"))
-            .when(F.col("redirect_to").isNotNull(), F.lit(None))
-            .otherwise(F.col("out_links"))
-            .alias("out_links"),
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload_cols
+        ] + [
             F.when(F.col("redirect_to").isNotNull(), F.col("_t_next"))
             .otherwise(F.lit(None))
             .alias("redirect_to"),
             (F.col("latency_us") + F.coalesce(F.when(F.col("redirect_to").isNotNull(), F.col("_t_lat")), F.lit(0))).alias("latency_us"),
         ]
-        if has_html:
-            out_cols.append(
-                F.when(F.col("redirect_to").isNotNull() & F.col("_t_url").isNotNull(), F.col("_t_html"))
-                .when(F.col("redirect_to").isNotNull(), F.lit(None))
-                .otherwise(F.col("body_html"))
-                .alias("body_html")
-            )
         resolved = resolved.join(
             tgt, resolved["redirect_to"] == tgt["_t_url"], "left"
         ).select(*out_cols)
@@ -94,6 +88,7 @@ def fetch_simulate(
     pages_resolved: DataFrame,
     response_cache: DataFrame | None = None,
     carry_body_html: bool = False,
+    carry_body_gz: bool = False,
 ) -> DataFrame:
     """One fetch attempt per selected row: equi-join on url_hash.
 
@@ -117,6 +112,8 @@ def fetch_simulate(
     ]
     if carry_body_html and "body_html" in pages_resolved.columns:
         p_cols.append("body_html")
+    if carry_body_gz and "body_gz" in pages_resolved.columns:
+        p_cols.append("body_gz")
     p = pages_resolved.select(*p_cols)
     if "timeout_us" not in wave.columns:
         wave = wave.withColumn("timeout_us", F.lit(None).cast("long"))
@@ -174,6 +171,40 @@ def fetch_simulate(
         .withColumn("attempts", (F.col("retry_count") + 1).cast("int"))
         .drop("page_status", "_timed_out")
     )
+
+
+def gunzip_udf():
+    """F-11 transparent gzip body decode (nethttp.go:76-86): Arrow-batched
+    pandas UDF; the decompress itself is zlib C code per value."""
+    import gzip
+
+    @F.pandas_udf("string")
+    def _gunzip(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda x: gzip.decompress(bytes(x)).decode("utf-8") if x is not None else None
+        )
+
+    return _gunzip
+
+
+def hook_events_expr():
+    """F-29 request/response hooks as a side-output column
+    (request_hooks.go:31-48): one request event and one response event per
+    NETWORK fetch; cache hits fire no hooks (no request went out)."""
+    ev = F.array(
+        F.struct(
+            F.lit("request").alias("kind"),
+            F.col("url_canon").alias("url"),
+            F.lit(None).cast("int").alias("status"),
+        ),
+        F.struct(
+            F.lit("response").alias("kind"),
+            F.col("url_canon").alias("url"),
+            F.col("status").cast("int").alias("status"),
+        ),
+    )
+    empty = F.array().cast("array<struct<kind:string,url:string,status:int>>")
+    return F.when(F.col("from_cache"), empty).otherwise(ev)
 
 
 def backoff_delay_expr(retry_k, cap_us):

@@ -447,13 +447,22 @@ def images_df(spark, world: World):
     )
 
 
-def pages_df(spark, world: World, with_body_html: bool = False):
+def body_text_of(url_canon: str) -> str:
+    """Deterministic plain-text body (the F-11 gzip payload source)."""
+    return f"body of {url_canon} :: deterministic text payload"
+
+
+def pages_df(spark, world: World, with_body_html: bool = False, with_body_gz: bool = False):
     """Pages table with url_hash computed IN SPARK (xxhash64 parity with the
     frontier's seen keys — no Python xxhash implementation exists or is needed).
 
     with_body_html=True renders each page's out_links into an HTML body (the
     P-3 extraction source) — the engine's regexp must recover the exact list.
+    with_body_gz=True gzips a deterministic text body per page (the F-11
+    transparent-decode source).
     """
+    import gzip
+
     rows = [
         {
             "url": p.url_canon,
@@ -468,6 +477,11 @@ def pages_df(spark, world: World, with_body_html: bool = False):
                 if p.body_html is not None
                 else (render_body_html(p.url_canon, p.out_links) if with_body_html else None)
             ),
+            "body_gz": (
+                gzip.compress(body_text_of(p.url_canon).encode(), mtime=0)
+                if with_body_gz
+                else None
+            ),
         }
         for p in world.pages.values()
     ]
@@ -477,7 +491,7 @@ def pages_df(spark, world: World, with_body_html: bool = False):
         schema=(
             "url string, status int, flaky_attempts int, body_image_id string, "
             "out_links array<string>, redirect_to string, latency_us bigint, "
-            "body_html string"
+            "body_html string, body_gz binary"
         ),
     )
     from pyspark.sql import functions as F
@@ -492,6 +506,7 @@ def pages_df(spark, world: World, with_body_html: bool = False):
         "redirect_to",
         "latency_us",
         "body_html",
+        "body_gz",
     )
 
 
