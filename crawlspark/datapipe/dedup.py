@@ -32,14 +32,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (the unit for Jaccard/MinHash)."""
-    toks = tokens(F.col(text_col))
+    """Distinct word n-gram shingles per doc (the unit for Jaccard/MinHash).
+
+    The token array is bound to a column FIRST: an unbound tokens(text)
+    expression inside the transform lambda would re-run the split+filter for
+    every shingle position — O(tokens²) string work per document (measured
+    ~3× the whole pipeline's cost at sf0.1)."""
+    toksed = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("_toks")) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        toksed.select("doc_id", F.explode(grams).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
@@ -87,7 +94,10 @@ def lsh_candidate_pairs(
     match fraction is a zip_with — the only shuffles are the one signature
     groupBy and the bucket self-join.
     """
-    sig = minhash_signature_arrays(shingles(df, text_col, id_col, ngram), k)
+    # persist: the signature frame feeds the band keys AND both sides of the
+    # candidate re-join — uncached, the full shingle+hash pipeline would run
+    # three times (at 100 TB signatures are narrow: k longs per doc)
+    sig = minhash_signature_arrays(shingles(df, text_col, id_col, ngram), k).persist()
     r = k // bands
     band_structs = F.array(*[
         F.struct(
@@ -139,11 +149,14 @@ def ngram_jaccard_pairs(
     makes the shingle-group join quadratic — the standard hot-key guard for
     similarity joins at scale. The DuckDB oracle applies the identical cap.
     """
-    sh = shingles(df, text_col, id_col, n)
-    rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
+    # persist both shingle frames: the raw set feeds the df-count and the
+    # cap join; the capped set feeds sizes and BOTH self-join sides —
+    # uncached, the explode pipeline would run five times
+    sh_raw = shingles(df, text_col, id_col, n).persist()
+    rare = sh_raw.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= df_max
     )
-    sh = sh.join(rare.select("shingle"), "shingle")
+    sh = sh_raw.join(rare.select("shingle"), "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

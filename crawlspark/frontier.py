@@ -83,9 +83,12 @@ def with_inspark_rank(
     parted = df.repartitionByRange(n_parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # persist: both the offsets subplan (broadcast side) and the main join
+    # consume this frame — without a cache the whole upstream (politeness
+    # windows, eligibility scan) runs twice per wave
     parted = parted.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
-    )
+    ).persist()
     offsets = (
         parted.groupBy("_pid")
         .agg(F.count("*").alias("_n"))
@@ -126,9 +129,10 @@ def ranked_within(
     parted = df.repartitionByRange(n_parts, *pcols, *ocols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # persist — shared by the offsets broadcast subplan and the main join
     parted = parted.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid", *pcols).orderBy(*ocols))
-    )
+    ).persist()
     offsets = (
         parted.groupBy("_pid", *pcols)
         .agg(F.count("*").alias("_n"))
