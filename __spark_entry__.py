@@ -575,6 +575,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_neardup"] = embedding_neardup
 
+    def ivf_topk_probe(spark, sf):
+        # IVF-flat ANN: deterministic centroids, argmax cell assignment,
+        # 2-probe search, exact top-k inside probed cells — the O(corpus)
+        # scale path for similarity search (swap trained centroids in, same plan)
+        from crawlspark.datapipe.similarity import ivf_topk
+
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        return ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=2)
+
+    q["ivf_topk_probe"] = ivf_topk_probe
+
     def lsh_bucket_similarity(spark, sf):
         # sign-bit LSH bucketed exact-cosine pairs (the O(n) path); the
         # md5-derived hyperplanes are reproduced exactly in the DuckDB oracle
@@ -1001,6 +1014,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(a.e, b.e)
                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+    """
+
+    _COSC = (
+        "round(list_dot_product(v.e, c.cv) / "
+        "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cv, c.cv))), 9)"
+    )
+    o["ivf_topk_probe"] = f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+        assign AS (
+          SELECT nbr_id, vv, cell FROM (
+            SELECT v.vec_id AS nbr_id, v.e AS vv, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COSC} DESC, c.cent_id ASC) AS rn
+            FROM v, cents c) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT v.vec_id AS query_id, v.e AS qv, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COSC} DESC, c.cent_id ASC) AS rn
+            FROM v, cents c WHERE v.vec_id < 8) WHERE rn <= 2),
+        scored AS (
+          SELECT p.query_id, a.nbr_id,
+                 list_dot_product(p.qv, a.vv)
+                   / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cos
+          FROM probes p JOIN assign a USING (cell)
+          WHERE p.query_id != a.nbr_id)
+        SELECT query_id, nbr_id, round(cos, 6) AS cosine, CAST(rk AS INT) AS rk FROM (
+          SELECT query_id, nbr_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rk
+          FROM scored)
+        WHERE rk <= 5
     """
 
     # sign-bit LSH: hyperplane component h[i][j] = ±1 from md5("i|j") — the

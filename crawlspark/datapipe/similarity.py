@@ -84,6 +84,74 @@ def lsh_signature(vec, n_bits: int = 8, dim: int = 16):
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate nearest neighbors: partition the corpus into
+    `n_cells` cells by nearest centroid, probe the query's `n_probe` nearest
+    cells, exact top-k inside the probed candidates.
+
+    Centroids are the n_cells lowest-id corpus vectors (deterministic,
+    k-means-free — swapping in trained centroids changes ONLY the `cents`
+    frame; the plan shape is the canonical IVF one: a broadcast argmax
+    assignment, a cell-key equi-join, and a per-query window over the probed
+    subset — O(corpus) shuffle instead of queries × corpus).
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    )
+    cos_cent = _dot(F.col("v"), F.col("cv")) / (F.col("vn") * _norm(F.col("cv")))
+
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("vn")
+    )
+    # argmax-cosine cell per corpus vector; ties break to the lowest cent_id
+    # (max_by over (cos, -cent_id) structs — deterministic, oracle-matched)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", F.round(cos_cent, 9))
+        .groupBy("nbr_id", "v", "vn")
+        .agg(F.max_by("cent_id", F.struct(F.col("_cos"), (-F.col("cent_id")).alias("_t"))).alias("cell"))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
+    )
+    cos_q_cent = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * _norm(F.col("cv")))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_qcos", F.round(cos_q_cent, 9))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
+    )
+
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def lsh_bucket_neighbors(
     corpus: DataFrame,
     n_bits: int = 8,
