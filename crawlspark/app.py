@@ -129,6 +129,8 @@ class CrawlApp:
             max_waves=self.cfg.max_waves,
             validate_images=self.cfg.validate_images and images is not None,
             job_types=self.cfg.job_types,
+            # F-24: js mode renders — observes client-side-injected links
+            fetcher="js" if self.cfg.fetch_mode == "js" else "http",
             # F-23: the stealth fetch mode attaches a browser header profile
             fetch_profile="chrome" if self.cfg.fetch_mode == "stealth" else None,
             enable_hooks=self.cfg.enable_hooks,

@@ -81,6 +81,10 @@ class CrawlConfig:
     # P-3: extract child links from the response body (regexp over body_html)
     # instead of reading the pre-extracted out_links column
     extract_links_from_body: bool = False
+    # F-24 fetcher flavor: "http" (plain) or "js" (browser rendering — also
+    # observes pages.js_links, the content injected client-side;
+    # jshttp.go:191-235)
+    fetcher: str = "http"
     # F-23 stealth header profile name (crawlspark.stealth) — merged UNDER
     # each job's own headers before the fetch; None → plain fetch
     fetch_profile: str | None = None
@@ -541,6 +545,7 @@ class CrawlEngine:
                 wave_sel, self.pages, self.response_cache,
                 carry_body_html=cfg.extract_links_from_body,
                 carry_body_gz=cfg.decode_gzip_body,
+                carry_js_links=(cfg.fetcher == "js"),
             )
             if cfg.extract_links_from_body and "body_html" in fetched.columns:
                 # P-3 link extraction from the response body (collect_job.go:
@@ -557,6 +562,21 @@ class CrawlEngine:
                         ),
                     ).otherwise(F.col("out_links")),
                 ).drop("body_html")
+            if cfg.fetcher == "js" and "js_links" in fetched.columns:
+                # F-24: the js fetcher also observes render-injected links,
+                # appended after the static ones (document order, then render
+                # order). Cache hits keep their stored (already-effective) links.
+                fetched = fetched.withColumn(
+                    "out_links",
+                    F.when(
+                        F.col("from_cache"), F.col("out_links")
+                    ).otherwise(
+                        F.concat(
+                            F.coalesce(F.col("out_links"), F.array().cast("array<string>")),
+                            F.coalesce(F.col("js_links"), F.array().cast("array<string>")),
+                        )
+                    ),
+                ).drop("js_links")
             if cfg.decode_gzip_body and "body_gz" in fetched.columns:
                 # F-11 transparent gzip decode (nethttp.go:76-86); the raw
                 # gz bytes are dropped so only the text enters the wave cache

@@ -38,7 +38,7 @@ def resolve_redirects(pages: DataFrame, max_hops: int = MAX_REDIRECT_HOPS) -> Da
     # target → null, no redirect → own value (body_html is the P-3 link
     # source; body_gz the F-11 gzip body)
     payload_cols = ["body_image_id", "out_links"] + [
-        c for c in ("body_html", "body_gz") if c in pages.columns
+        c for c in ("body_html", "body_gz", "js_links") if c in pages.columns
     ]
     resolved = pages
     for _ in range(max_hops):
@@ -89,6 +89,7 @@ def fetch_simulate(
     response_cache: DataFrame | None = None,
     carry_body_html: bool = False,
     carry_body_gz: bool = False,
+    carry_js_links: bool = False,
 ) -> DataFrame:
     """One fetch attempt per selected row: equi-join on url_hash.
 
@@ -114,6 +115,8 @@ def fetch_simulate(
         p_cols.append("body_html")
     if carry_body_gz and "body_gz" in pages_resolved.columns:
         p_cols.append("body_gz")
+    if carry_js_links and "js_links" in pages_resolved.columns:
+        p_cols.append("js_links")
     p = pages_resolved.select(*p_cols)
     if "timeout_us" not in wave.columns:
         wave = wave.withColumn("timeout_us", F.lit(None).cast("long"))

@@ -126,6 +126,7 @@ def run_oracle(
     wave_period_us: int = 500_000,
     max_waves: int = C.DEFAULT_MAX_WAVES,
     job_types: dict | None = None,
+    fetcher: str = "http",
 ) -> GoldenCrawl:
     robots = {r["host"]: r["disallow_prefixes"] for r in world.robots}
     budgets = {p["host"]: p["max_per_wave"] for p in world.politeness}
@@ -282,8 +283,14 @@ def run_oracle(
                     {"job_id": j.job_id, "attempts": j.attempts, "final_state": C.ST_DONE}
                 )
                 n_done += 1
-                if page is not None and page.out_links:
-                    children_buffer.append((rank, j.priority, j, list(page.out_links)))
+                if page is not None:
+                    # F-24: the js fetcher also observes render-injected
+                    # links, appended after the static ones
+                    links = list(page.out_links)
+                    if fetcher == "js":
+                        links += list(page.js_links)
+                    if links:
+                        children_buffer.append((rank, j.priority, j, links))
                 continue
 
             # failure → policy dispatch (scrapemate.go:422-451)

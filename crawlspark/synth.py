@@ -39,6 +39,9 @@ class PageSpec:
     redirect_to: str | None = None
     latency_us: int = 1000
     body_html: str | None = None  # P-3 link-extraction source (optional)
+    # F-24: links injected by client-side rendering — only a js fetcher
+    # (jshttp.go:191-235) observes them; the plain http fetcher cannot
+    js_links: list[str] = field(default_factory=list)
 
 
 def render_body_html(url: str, links: list[str]) -> str:
@@ -173,6 +176,13 @@ def make_world(
             if i % 6 == 0:
                 links.append(f"http://{_host_name(h)}/private/{i}")
 
+            # F-24: some pages inject a link at render time — only the js
+            # fetcher discovers it (kept disjoint-ish from static links by
+            # using a distinct /ajax/ path)
+            js_links: list[str] = []
+            if i % 7 == 0:
+                js_links.append(f"http://{_host_name(h)}/ajax/{i}")
+
             pages[canon] = PageSpec(
                 url_canon=canon,
                 status=status,
@@ -181,6 +191,7 @@ def make_world(
                 out_links=links,
                 redirect_to=redirect_to,
                 latency_us=1000 + hv % 49000,
+                js_links=js_links,
             )
 
     # /private pages exist but are robots-gated (never fetched if gate works)
@@ -188,6 +199,20 @@ def make_world(
         n_p = int(pages_per_host[h])
         for i in range(0, n_p, 6):
             canon = canon_of(f"http://{_host_name(h)}/private/{i}")
+            pages[canon] = PageSpec(
+                url_canon=canon,
+                status=200,
+                flaky_attempts=0,
+                body_image_id=f"img{_h(canon) % n_images:08d}",
+                out_links=[],
+                latency_us=1000,
+            )
+
+    # /ajax pages exist; only reachable via js_links (F-24)
+    for h in range(n_hosts):
+        n_p = int(pages_per_host[h])
+        for i in range(0, n_p, 7):
+            canon = canon_of(f"http://{_host_name(h)}/ajax/{i}")
             pages[canon] = PageSpec(
                 url_canon=canon,
                 status=200,
@@ -482,6 +507,7 @@ def pages_df(spark, world: World, with_body_html: bool = False, with_body_gz: bo
                 if with_body_gz
                 else None
             ),
+            "js_links": p.js_links,
         }
         for p in world.pages.values()
     ]
@@ -491,7 +517,7 @@ def pages_df(spark, world: World, with_body_html: bool = False, with_body_gz: bo
         schema=(
             "url string, status int, flaky_attempts int, body_image_id string, "
             "out_links array<string>, redirect_to string, latency_us bigint, "
-            "body_html string, body_gz binary"
+            "body_html string, body_gz binary, js_links array<string>"
         ),
     )
     from pyspark.sql import functions as F
@@ -507,6 +533,7 @@ def pages_df(spark, world: World, with_body_html: bool = False, with_body_gz: bo
         "latency_us",
         "body_html",
         "body_gz",
+        "js_links",
     )
 
 
