@@ -645,6 +645,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phash_near_dup"] = phash_near_dup
 
+    def simhash_band_pairs(spark, sf):
+        # 48-bit SimHash near-dup pairs via 4×12-bit banded self-join
+        # (pigeonhole-exact for hamming < 4); signature built with ONE
+        # groupBy carrying 48 conditional-sum aggregates — no bit-row explode
+        from crawlspark.datapipe.dedup import simhash_agg
+        from crawlspark.datapipe.dedup import simhash_band_pairs as sbp
+
+        sig = simhash_agg(_t(spark, sf, "documents"), n_bits=48)
+        return sbp(sig, n_bits=48, n_bands=4, max_dist=3)
+
+    q["simhash_band_pairs"] = simhash_band_pairs
+
+    def neardup_components(spark, sf):
+        # the full dedup-cluster pipeline: MinHash-LSH candidates → iterative
+        # min-label connected components → canonical doc per cluster; the
+        # DuckDB oracle computes the same fixpoint with a recursive CTE
+        from crawlspark.datapipe.dedup import neardup_components as ndc
+
+        return ndc(_t(spark, sf, "documents"), k=8, bands=4, ngram=3)
+
+    q["neardup_components"] = neardup_components
+
+    def repetition_quality(spark, sf):
+        # Gopher-style repetition gates: top-bigram fraction, duplicate-5gram
+        # fraction, stopword fraction, composite keep verdict
+        from crawlspark.datapipe.text import repetition_features
+
+        return repetition_features(_t(spark, sf, "documents"))
+
+    q["repetition_quality"] = repetition_quality
+
+    def image_thumbnail_stats(spark, sf):
+        # resize stage of the multimodal pipeline: decode → 8×8 block-mean →
+        # re-encode PPM → decode thumb → stats; oracled against a VALUES twin
+        # computed driver-side from the same bytes with the same numpy ops
+        from crawlspark import synth
+        from crawlspark.datapipe.multimodal import image_features, image_thumbnails
+
+        world = synth.make_world(n_hosts=4, total_pages=60)
+        thumbs = image_thumbnails(synth.images_df(spark, world), size=8)
+        feats = image_features(
+            thumbs.select(
+                "image_id", F.col("thumb").alias("bytes"), F.lit("ppm").alias("fmt")
+            )
+        )
+        return feats.select(
+            "image_id",
+            F.col("w").alias("tw"),
+            F.col("h").alias("th"),
+            F.floor(F.col("mean_lum") * 100).cast("long").alias("lum_q"),
+            F.col("phash").alias("thumb_phash"),
+        )
+
+    q["image_thumbnail_stats"] = image_thumbnail_stats
+
     return q
 
 
@@ -654,6 +709,40 @@ def _world_images():
     from crawlspark import synth
 
     return synth.make_world(n_hosts=4, total_pages=60).images
+
+
+def _thumb_stats_driver():
+    """Driver-side twin of the image_thumbnail_stats pipeline: the SAME numpy
+    ops (decode → 8×8 block-mean → PPM round-trip → luminance/phash) run on
+    the same bytes, so the executor UDF path is pinned value-for-value.
+    lum_q quantizes the double to floor(×100) so the comparison is integral —
+    identical numpy arithmetic on identical bytes gives identical doubles."""
+    import math
+
+    import numpy as np
+
+    from crawlspark import image as IMG
+
+    out = []
+    for im in _world_images():
+        px = IMG.DECODERS[im["fmt"]](im["bytes"])
+        h, w, _ = px.shape
+        bh, bw = max(h // 8, 1), max(w // 8, 1)
+        small = (
+            px[: bh * 8, : bw * 8].reshape(8, bh, 8, bw, 3).mean(axis=(1, 3)).astype(np.uint8)
+        )
+        thumb = IMG.DECODERS["ppm"](IMG.encode_ppm(small))
+        lum = thumb.mean(axis=2)
+        out.append(
+            (
+                im["image_id"],
+                8,
+                8,
+                int(math.floor(float(lum.mean()) * 100)),
+                IMG.average_hash(thumb),
+            )
+        )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1123,6 +1212,107 @@ def oracle_sql() -> dict[str, str]:
         JOIN sig sa ON sa.doc_id = doc_a
         JOIN sig sb ON sb.doc_id = doc_b AND sb.perm = sa.perm
         GROUP BY doc_a, doc_b
+    """
+
+    o["simhash_band_pairs"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+        h AS (SELECT doc_id, {_hash60_sql("tok")} AS hv FROM toks),
+        bits AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, (SELECT unnest(range(0, 48)) AS bit)
+          GROUP BY doc_id, bit),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (CAST(band AS INT) * 12)) & 4095 AS chunk
+          FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS ha,
+                          b.doc_id AS doc_b, b.simhash AS hb
+          FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+                                   AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """
+
+    # connected components over the SAME banded-LSH candidate pairs as
+    # minhash_lsh_candidates: the Spark side iterates min-label propagation
+    # to a fixpoint; the oracle reaches the same fixpoint with a recursive
+    # CTE (min reachable node id per node)
+    o["neardup_components"] = f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip().removeprefix("WITH ")},
+        sig AS (
+          SELECT doc_id, CAST(perm AS INT) AS perm,
+                 min({_hash60_sql("perm || '|' || shingle")}) AS minh
+          FROM sh, (SELECT unnest(range(0, 8)) AS perm)
+          GROUP BY doc_id, perm),
+        bands AS (
+          SELECT doc_id, CAST(floor(perm / 2) AS INT) AS band,
+                 md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY perm)) AS bucket
+          FROM sig GROUP BY doc_id, CAST(floor(perm / 2) AS INT)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                  UNION SELECT doc_b, doc_a FROM cand),
+        reach(id, comp) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS component,
+               coalesce(l.comp, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    """
+
+    o["repetition_quality"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS l FROM documents),
+        g5 AS (
+          SELECT doc_id,
+            CASE WHEN len(l) >= 5
+              THEN list_transform(range(0, len(l) - 4),
+                                  i -> array_to_string(l[i+1:i+5], ' '))
+              ELSE [] END AS g
+          FROM toks),
+        base AS (
+          SELECT t.doc_id,
+            round(CASE WHEN len(g) > 0
+                       THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                       ELSE 0.0 END, 6) AS dup_5gram_frac,
+            round(CAST(len(list_filter(l, x -> list_contains(
+                    [{",".join(f"'{w}'" for w in STOP_EN)}], x))) AS DOUBLE)
+                  / greatest(len(l), 1), 6) AS stopword_frac
+          FROM toks t JOIN g5 USING (doc_id)),
+        bg AS (
+          SELECT doc_id, unnest(CASE WHEN len(l) >= 2
+              THEN list_transform(range(0, len(l) - 1),
+                                  i -> array_to_string(l[i+1:i+2], ' '))
+              ELSE [] END) AS bigram
+          FROM toks),
+        bgc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+        bga AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM bgc GROUP BY doc_id)
+        SELECT b.doc_id,
+               round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0), 6) AS top_bigram_frac,
+               dup_5gram_frac, stopword_frac,
+               (coalesce(CAST(mx AS DOUBLE) / tot, 0.0) <= 0.2
+                AND dup_5gram_frac <= 0.3
+                AND stopword_frac >= 0.02) AS keep
+        FROM base b LEFT JOIN bga USING (doc_id)
+    """
+
+    _THUMB_VALUES = ",".join(
+        f"('{iid}', {tw}, {th}, {lum_q}, {ph})"
+        for iid, tw, th, lum_q, ph in _thumb_stats_driver()
+    )
+    o["image_thumbnail_stats"] = f"""
+        SELECT image_id, CAST(tw AS INT) AS tw, CAST(th AS INT) AS th,
+               CAST(lum_q AS BIGINT) AS lum_q, CAST(thumb_phash AS BIGINT) AS thumb_phash
+        FROM (VALUES {_THUMB_VALUES}) AS t(image_id, tw, th, lum_q, thumb_phash)
     """
 
     return o

@@ -30,6 +30,9 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash_16bit",
     "ngram_jaccard_pairs",
+    "simhash_band_pairs",
+    "neardup_components",
+    "repetition_quality",
     "cosine_topk_bruteforce",
     "embedding_neardup",
     "token_count",

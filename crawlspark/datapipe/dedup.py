@@ -207,6 +207,164 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def simhash_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 48
+) -> DataFrame:
+    """n-bit SimHash with NO bit-row explosion: per-token hash once, then
+    n_bits conditional-sum aggregates in ONE groupBy (the same k-aggregates
+    trick as minhash_signature_arrays). simhash16 explodes each token into
+    16 bit-rows — constant-factor but real map-stage inflation at 100 TB;
+    here the shuffle input is one row per token and the partial agg carries
+    n_bits counters. n_bits ≤ 60 (hash60 provides 60 usable bits; bit i
+    must also fit a signed long, so n_bits ≤ 60 keeps 1<<i exact)."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60] (hash60 is 60-bit)")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_b{i}")
+        for i in range(n_bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(n_bits)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return agg.select("doc_id", total.alias("simhash"))
+
+
+def simhash_band_pairs(
+    sig: DataFrame, n_bits: int = 48, n_bands: int = 4, max_dist: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance via banded self-join.
+
+    Splitting the n-bit hash into n_bands equal chunks bounds the join:
+    two hashes within Hamming distance d share at least one EXACT band
+    whenever d < n_bands (pigeonhole). max_dist must be < n_bands or recall
+    silently drops — enforced here (the same guard as phash_hamming_pairs).
+    Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"max_dist={max_dist} breaks the pigeonhole guarantee of "
+            f"{n_bands}-band LSH (requires max_dist < {n_bands})"
+        )
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    r = n_bits // n_bands
+    mask = (1 << r) - 1
+    bq = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * r)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = bq.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "chunk")
+    b = bq.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "chunk")
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_dist)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation: every node repeatedly adopts min(own label, neighbors'
+    labels) until fixpoint. Returns (id, component) for every node that
+    appears in a pair; component = smallest node id reachable.
+
+    Scale notes: rounds = graph diameter, and near-dup components are
+    star/clique-shaped (a cluster of near-identical docs), so this converges
+    in 2-4 rounds in practice; each round is one shuffle join + one partial
+    agg, and the only driver action is a LIMIT-1 convergence probe. For
+    adversarial long-chain graphs the O(log n)-round large-star/small-star
+    alternation is the drop-in upgrade — the dedup workload doesn't need it.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    # each round MUST truncate lineage (localCheckpoint is eager): an
+    # iterative join chain otherwise re-derives round k from rounds 1..k-1
+    # every action — the classic exponential-recompute pitfall. On a real
+    # cluster with preemptible executors, swap in reliable checkpoint()
+    # against the job's checkpoint dir; semantics are identical.
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        merged = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                F.col("comp").alias("_old"),
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        labels = merged.select("id", "comp")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def neardup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """The full dedup-cluster pipeline: MinHash-LSH candidates → connected
+    components → canonical doc per cluster. Returns one row per document:
+    (doc_id, component, is_canonical); singleton docs are their own
+    component. A 100-TB pipeline keeps rows where is_canonical."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k=k, bands=bands, ngram=ngram)
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

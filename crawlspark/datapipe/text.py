@@ -94,6 +94,83 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition / quality gates (Gopher-style pre-training filters)
+# ---------------------------------------------------------------------------
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Word n-grams of a bound token array (empty for docs with < n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition gates per document:
+
+      * top_bigram_frac — occurrences of the most frequent word bigram over
+        total bigrams (boilerplate/templating detector);
+      * dup_5gram_frac — fraction of word 5-grams that are repeats
+        (1 - distinct/total; loop/spam detector);
+      * stopword_frac — stopword tokens over total tokens (gibberish gate);
+      * keep — the composite admission verdict.
+
+    Plan shape: the 5-gram and stopword metrics are pure array expressions
+    (zero shuffle); the bigram mode needs a (doc_id, bigram) count, which is
+    one explode + one partially-aggregated groupBy per doc — the only
+    all-to-all traffic is one row per distinct (doc, bigram), never raw text.
+    """
+    toksed = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    g5 = _grams(F.col("_toks"), 5)
+    dup5 = F.when(
+        F.size(g5) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g5)).cast("double") / F.size(g5),
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOP_EN])
+    stop_frac = F.size(
+        F.filter(F.col("_toks"), lambda t: F.array_contains(stop_arr, t))
+    ).cast("double") / F.greatest(F.size("_toks"), F.lit(1))
+    base = toksed.select(
+        "doc_id",
+        "_toks",
+        F.round(dup5, 6).alias("dup_5gram_frac"),
+        F.round(stop_frac, 6).alias("stopword_frac"),
+    )
+    bg_counts = (
+        toksed.select("doc_id", F.explode(_grams(F.col("_toks"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("_mx"), F.sum("cnt").alias("_tot"))
+    )
+    return (
+        base.join(bg_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("_mx").cast("double") / F.col("_tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            "dup_5gram_frac",
+            "stopword_frac",
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_bigram_frac") <= 0.2)
+            & (F.col("dup_5gram_frac") <= 0.3)
+            & (F.col("stopword_frac") >= 0.02),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # rolling-hash character-shingle sketch — pure Catalyst, oracle-checkable
 # ---------------------------------------------------------------------------
 

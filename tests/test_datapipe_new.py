@@ -1,0 +1,175 @@
+"""Tests for the round-2 datapipe additions: connected components (dedup
+clustering), banded SimHash pairs, Gopher-style repetition gates, and the
+thumbnail resize stage.
+
+Reference parity notes: these are training-data-pipeline operators beyond the
+reference's own surface (the task brief's LLM-pipeline requirements), so the
+pins here are mathematical (pigeonhole guarantees, hand-computed fractions,
+known-graph components) rather than reference file:line twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import image as IMG
+from crawlspark.datapipe.dedup import (
+    connected_components,
+    neardup_components,
+    simhash_agg,
+    simhash_band_pairs,
+)
+from crawlspark.datapipe.text import repetition_features
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graph(spark):
+    # two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_needs_multiple_rounds(spark):
+    # a 6-node path written so labels must propagate end-to-end (diameter 5)
+    pairs = spark.createDataFrame(
+        [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2)], "doc_a long, doc_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_neardup_components_clusters_duplicates(spark):
+    # docs 1/2 are near-identical (one token differs), 3 is unrelated;
+    # canonical = lowest doc_id in each component, singletons self-canonical
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in neardup_components(docs).collect()}
+    assert rows[1]["component"] == 1 and rows[1]["is_canonical"]
+    assert rows[2]["component"] == 1 and not rows[2]["is_canonical"]
+    assert rows[3]["component"] == 3 and rows[3]["is_canonical"]
+
+
+# ---------------------------------------------------------------------------
+# banded SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_band_pairs_pigeonhole_guard(spark):
+    sig = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_band_pairs(sig, n_bits=48, n_bands=4, max_dist=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_band_pairs(sig, n_bits=50, n_bands=4, max_dist=3)
+
+
+def test_simhash_agg_matches_explicit_bit_math(spark):
+    # one doc, hand-checkable: simhash bit i set iff majority of token hashes
+    # have bit i set (ties -> not set, vote sum must be > 0)
+    docs = spark.createDataFrame([(7, "spark scale shuffle")], "doc_id long, text string")
+    [row] = simhash_agg(docs, n_bits=12).collect()
+    import hashlib
+
+    hs = [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for t in ["spark", "scale", "shuffle"]
+    ]
+    expected = 0
+    for i in range(12):
+        votes = sum(1 if (h >> i) & 1 else -1 for h in hs)
+        if votes > 0:
+            expected |= 1 << i
+    assert row["simhash"] == expected
+
+
+def test_simhash_band_pairs_finds_identical_and_near_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely unrelated")],
+        "doc_id long, text string",
+    )
+    sig = simhash_agg(docs, n_bits=48)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_band_pairs(sig, max_dist=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality gates
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_features_hand_computed(spark):
+    # doc 1: "the cat sat on the mat" — 5 bigrams, all distinct → top 1/5;
+    #        2 five-grams, distinct → dup 0; stopwords: the×2 of 6 tokens
+    # doc 2: "spam spam spam spam spam spam" — one bigram repeated 5× → 1.0;
+    #        2 identical 5-grams → dup 0.5; no stopwords
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "spam spam spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert rows[1]["top_bigram_frac"] == 0.2
+    assert rows[1]["dup_5gram_frac"] == 0.0
+    assert rows[1]["stopword_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert rows[1]["keep"] is True
+    assert rows[2]["top_bigram_frac"] == 1.0
+    assert rows[2]["dup_5gram_frac"] == 0.5
+    assert rows[2]["stopword_frac"] == 0.0
+    assert rows[2]["keep"] is False
+
+
+def test_repetition_features_short_doc_safe(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert rows[1]["top_bigram_frac"] == 0.0 and rows[1]["dup_5gram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 0.0 and rows[2]["stopword_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# thumbnail resize stage
+# ---------------------------------------------------------------------------
+
+
+def test_image_thumbnails_roundtrip_matches_numpy(spark):
+    from crawlspark.datapipe.multimodal import image_features, image_thumbnails
+
+    iid, w, h = "imgT", 32, 16
+    px = IMG.reference_pixels(iid, w, h)
+    images = spark.createDataFrame(
+        [(iid, IMG.encode_ppm(px), "ppm")], "image_id string, bytes binary, fmt string"
+    )
+    feats = image_features(
+        image_thumbnails(images, size=8).select(
+            "image_id", F.col("thumb").alias("bytes"), F.lit("ppm").alias("fmt")
+        )
+    ).collect()
+    [row] = feats
+    # driver-side twin of the same numpy ops
+    small = (
+        px[:16, :32].reshape(8, 2, 8, 4, 3).mean(axis=(1, 3)).astype(np.uint8)
+    )
+    thumb = IMG.DECODERS["ppm"](IMG.encode_ppm(small))
+    assert (row["w"], row["h"]) == (8, 8)
+    assert row["phash"] == IMG.average_hash(thumb)
+    assert row["mean_lum"] == pytest.approx(float(thumb.mean(axis=2).mean()))
