@@ -700,6 +700,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_thumbnail_stats"] = image_thumbnail_stats
 
+    def pii_scrub(spark, sf):
+        # pre-training PII redaction: deterministic PII-bearing text built
+        # from customer columns, then engine-portable regex count + redact
+        # (Java regex ∩ RE2 — no lookaround); md5 of the scrubbed text pins
+        # the exact replacement spans cross-engine
+        from crawlspark.datapipe.text import pii_counts, redact_pii
+
+        c = _t(spark, sf, "customer")
+        text = F.concat(
+            F.col("c_name"), F.lit(" user"), F.col("c_custkey").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("c_custkey") % 256).cast("string"), F.lit(".0."),
+            (F.col("c_nationkey") % 250).cast("string"),
+            F.lit(" ph "),
+            F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"), F.lit("-"),
+            F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(((F.col("c_nationkey") * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(((F.col("c_custkey") * 13) % 10000).cast("string"), 4, "0"),
+        )
+        cnt = pii_counts(text)
+        return c.select(
+            "c_custkey",
+            cnt["email"].cast("int").alias("n_emails"),
+            cnt["phone"].cast("int").alias("n_phones"),
+            cnt["ipv4"].cast("int").alias("n_ips"),
+            F.md5(redact_pii(text)).alias("scrubbed_md5"),
+        )
+
+    q["pii_scrub"] = pii_scrub
+
+    def asof_join_events(spark, sf):
+        # as-of join: each purchase gains the latest STRICTLY-prior view ts
+        # per user — union-trick plan (one shuffle, running last-non-null
+        # window), not an inequality join; DuckDB oracles it with native
+        # ASOF LEFT JOIN
+        from crawlspark.datapipe.relational import asof_join_prior
+
+        ev = _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts_us"
+        )
+        views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+        return asof_join_prior(
+            purchases, views, on="user_id", left_ts="ts_us", right_ts="ts_us",
+            payload="ts_us", payload_out="prior_view_us",
+        )
+
+    q["asof_join_events"] = asof_join_events
+
+    def embedding_quantize(spark, sf):
+        # symmetric per-vector int8 quantization + reconstruction error —
+        # pure array expressions, zero shuffle; round-half-up pinned to
+        # floor(+0.5) in both engines
+        from crawlspark.datapipe.similarity import quantize_int8
+
+        return quantize_int8(_t(spark, sf, "embeddings"))
+
+    q["embedding_quantize"] = embedding_quantize
+
     return q
 
 
@@ -1313,6 +1375,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT image_id, CAST(tw AS INT) AS tw, CAST(th AS INT) AS th,
                CAST(lum_q AS BIGINT) AS lum_q, CAST(thumb_phash AS BIGINT) AS thumb_phash
         FROM (VALUES {_THUMB_VALUES}) AS t(image_id, tw, th, lum_q, thumb_phash)
+    """
+
+    _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _PHONE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    _IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    o["pii_scrub"] = f"""
+        WITH t AS (
+          SELECT c_custkey,
+            c_name || ' user' || c_custkey || '@example.com ip 10.' ||
+            (c_custkey % 256) || '.0.' || (c_nationkey % 250) ||
+            ' ph ' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+            lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST((c_nationkey*7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST((c_custkey*13) % 10000 AS VARCHAR), 4, '0') AS text
+          FROM customer)
+        SELECT c_custkey,
+          CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '{_PHONE}')) AS INT) AS n_phones,
+          CAST(len(regexp_extract_all(text, '{_IPV4}')) AS INT) AS n_ips,
+          md5(regexp_replace(regexp_replace(regexp_replace(
+                text, '{_EMAIL}', '[EMAIL]', 'g'),
+                '{_PHONE}', '[PHONE]', 'g'),
+                '{_IPV4}', '[IPV4]', 'g')) AS scrubbed_md5
+        FROM t
+    """
+
+    o["asof_join_events"] = """
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               epoch_us(v.ts) AS prior_view_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND v.ts < p.ts
+    """
+
+    o["embedding_quantize"] = """
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+              FROM v),
+        q AS (SELECT vec_id, e, scale,
+                CASE WHEN scale > 0
+                     THEN list_transform(e, x -> CAST(floor(x/scale + 0.5) AS INT))
+                     ELSE list_transform(e, x -> 0) END AS qv
+              FROM s)
+        SELECT vec_id, CAST(list_sum(qv) AS INT) AS sum_q,
+               list_max(qv) AS max_q, list_min(qv) AS min_q,
+               round(sqrt(list_sum(list_transform(range(1, len(e)+1),
+                   i -> pow(e[CAST(i AS INT)] - qv[CAST(i AS INT)]*scale, 2)))), 6) AS recon_err
+        FROM q
     """
 
     return o

@@ -37,6 +37,9 @@ HEADLINE = [
     "embedding_neardup",
     "token_count",
     "lang_id_heuristic",
+    "pii_scrub",
+    "asof_join_events",
+    "embedding_quantize",
 ]
 
 

@@ -152,6 +152,40 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/ANN compression
+    step of an embedding pipeline: scale = max|x|/127, q_i = round-half-up
+    (floor(x/scale + 0.5)), reconstruction x̂ = q·scale.
+
+    Pure Catalyst array expressions, zero Python, zero shuffle (per-row only).
+    Rounding is pinned to floor(+0.5) in BOTH engines because SQL round()
+    half-rule differs between Spark (HALF_UP) and others (banker's) — the
+    oracle must reproduce q exactly. Returns integral checksums of q plus the
+    reconstruction error so the contract is hash-comparable.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    err2 = F.aggregate(
+        F.zip_with(v, q, lambda x, qq: F.pow(x - qq.cast("double") * scale, F.lit(2.0))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.aggregate(q, F.lit(0), lambda a, x: a + x).alias("sum_q"),
+        F.array_max(q).alias("max_q"),
+        F.array_min(q).alias("min_q"),
+        F.round(F.sqrt(err2), 6).alias("recon_err"),
+    )
+
+
 def lsh_bucket_neighbors(
     corpus: DataFrame,
     n_bits: int = 8,

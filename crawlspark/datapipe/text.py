@@ -94,6 +94,36 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (pre-training redaction pass)
+# ---------------------------------------------------------------------------
+
+# explicit, engine-portable patterns (Java regex ∩ RE2): no lookaround, no
+# backreferences, so Spark and DuckDB match the exact same spans
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Non-overlapping match counts per PII class."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII span with a [CLASS] placeholder. Order matters:
+    emails first (an email can contain digit runs), then phones, then IPs —
+    the oracle applies the identical order."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # repetition / quality gates (Gopher-style pre-training filters)
 # ---------------------------------------------------------------------------
 

@@ -173,3 +173,60 @@ def test_image_thumbnails_roundtrip_matches_numpy(spark):
     assert (row["w"], row["h"]) == (8, 8)
     assert row["phash"] == IMG.average_hash(thumb)
     assert row["mean_lum"] == pytest.approx(float(thumb.mean(axis=2).mean()))
+
+
+# ---------------------------------------------------------------------------
+# as-of join, PII scrub, int8 quantization (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_prior_strict_and_null(spark):
+    from crawlspark.datapipe.relational import asof_join_prior
+
+    purchases = spark.createDataFrame(
+        [(1, 100, 50), (2, 100, 10), (3, 200, 30)],
+        "event_id long, user_id long, ts_us long",
+    )
+    views = spark.createDataFrame(
+        [(100, 20), (100, 50), (100, 40), (200, 35)], "user_id long, ts_us long"
+    )
+    got = {
+        r["event_id"]: r["prior_view_us"]
+        for r in asof_join_prior(
+            purchases, views, on="user_id", left_ts="ts_us", right_ts="ts_us",
+            payload="ts_us", payload_out="prior_view_us",
+        ).collect()
+    }
+    # event 1: view at ts=50 is NOT prior (strict <) -> latest is 40
+    # event 2: no view before ts=10 -> null; event 3: view 35 not < 30 -> null
+    assert got == {1: 40, 2: None, 3: None}
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from crawlspark.datapipe.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [("contact a.b@x.org or 12-345-678-9012 at 192.168.0.1 now",)], "t string"
+    )
+    cnt = pii_counts(F2.col("t"))
+    [row] = df.select(
+        cnt["email"].alias("e"), cnt["phone"].alias("p"), cnt["ipv4"].alias("i"),
+        redact_pii(F2.col("t")).alias("s"),
+    ).collect()
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+    assert row["s"] == "contact [EMAIL] or [PHONE] at [IPV4] now"
+
+
+def test_quantize_int8_exact_and_zero_vector(spark):
+    from crawlspark.datapipe.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.27, -1.27]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    # scale = 1.27/127 = 0.01; q = [0, 127, -127]; exact reconstruction
+    assert (rows[1]["sum_q"], rows[1]["max_q"], rows[1]["min_q"]) == (0, 127, -127)
+    assert rows[1]["recon_err"] == 0.0
+    assert (rows[2]["sum_q"], rows[2]["max_q"], rows[2]["recon_err"]) == (0, 0, 0.0)
