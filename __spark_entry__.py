@@ -1124,8 +1124,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["ngram_jaccard_pairs"] = f"""
         {_SHINGLES_SQL},
-        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
-        sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        shh AS (SELECT doc_id, {_hash60_sql("shingle")} AS shingle FROM sh),
+        rare AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= 100),
+        sh2 AS (SELECT shh.doc_id, shh.shingle FROM shh JOIN rare USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -151,8 +151,17 @@ def ngram_jaccard_pairs(
     """
     # persist both shingle frames: the raw set feeds the df-count and the
     # cap join; the capped set feeds sizes and BOTH self-join sides —
-    # uncached, the explode pipeline would run five times
-    sh_raw = shingles(df, text_col, id_col, n).persist()
+    # uncached, the explode pipeline would run five times.
+    # Shingles are HASHED to 60-bit ints immediately after the explode: every
+    # downstream shuffle (df-count, cap join, self-join) then moves 8-byte
+    # longs instead of ~25-byte trigram strings — the oracle applies the
+    # identical hash, so any (astronomically rare) collision affects both
+    # engines identically and the contract still pins exactly.
+    sh_raw = (
+        shingles(df, text_col, id_col, n)
+        .select("doc_id", hash60(F.col("shingle")).alias("shingle"))
+        .persist()
+    )
     rare = sh_raw.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= df_max
     )
@@ -219,6 +228,11 @@ def simhash_agg(
     must also fit a signed long, so n_bits ≤ 60 keeps 1<<i exact)."""
     if not 1 <= n_bits <= 60:
         raise ValueError("n_bits must be in [1, 60] (hash60 is 60-bit)")
+    # NOTE: a zero-shuffle alternative (per-doc array + n_bits filter-counts)
+    # was measured 1.8× SLOWER at sf0.1 — Catalyst higher-order-function
+    # lambdas are interpreted per element, while this explode feeds
+    # whole-stage-codegen'd hash aggregates; the shuffle it pays is one
+    # 48-counter row per doc (partial agg), which is noise at any scale.
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hash60(F.col("tok")))
