@@ -762,6 +762,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_quantize"] = embedding_quantize
 
+    def tfidf_top_terms(spark, sf):
+        # per-doc top-3 TF-IDF terms (keyword extraction): smoothed
+        # sklearn-style idf, broadcast term→df table, per-doc window
+        from crawlspark.datapipe.text import tfidf_top_terms as tt
+
+        return tt(_t(spark, sf, "documents"), k=3)
+
+    q["tfidf_top_terms"] = tfidf_top_terms
+
+    def stratified_sample(spark, sf):
+        # deterministic hash-based per-stratum sampling — reproducible on
+        # any cluster/partitioning (no df.sample seed plumbing); zero shuffle
+        from crawlspark.datapipe.sampling import stratified_sample as ss
+
+        return ss(
+            _t(spark, sf, "documents").select("doc_id", "source"),
+            rates={"src1": 50, "src2": 25},
+            default_pct=10,
+        ).select("doc_id", "source")
+
+    q["stratified_sample"] = stratified_sample
+
+    def domain_mix_cap(spark, sf):
+        # domain-mix rebalancing: at most 15 docs per source, chosen by
+        # deterministic hash order (uniform draw, not head-of-file)
+        from crawlspark.datapipe.sampling import domain_mix_cap as dmc
+
+        return dmc(
+            _t(spark, sf, "documents").select("doc_id", "source"), cap=15
+        ).select("doc_id", "source")
+
+    q["domain_mix_cap"] = domain_mix_cap
+
     return q
 
 
@@ -1426,6 +1459,33 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(list_sum(list_transform(range(1, len(e)+1),
                    i -> pow(e[CAST(i AS INT)] - qv[CAST(i AS INT)]*scale, 2)))), 6) AS recon_err
         FROM q
+    """
+
+    o["tfidf_top_terms"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, round(tf * (ln((n + 1.0) / (df + 1)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term), n)
+        SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+          FROM scored) WHERE rk <= 3
+    """
+
+    o["stratified_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_hash60_sql("'s1|' || CAST(doc_id AS VARCHAR)")} % 100 <
+              CASE WHEN source = 'src1' THEN 50 WHEN source = 'src2' THEN 25 ELSE 10 END
+    """
+
+    o["domain_mix_cap"] = f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY {_hash60_sql("'m1|' || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
+          FROM documents) WHERE rk <= 15
     """
 
     return o

@@ -40,6 +40,9 @@ HEADLINE = [
     "pii_scrub",
     "asof_join_events",
     "embedding_quantize",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "domain_mix_cap",
 ]
 
 

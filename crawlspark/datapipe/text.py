@@ -6,7 +6,7 @@ path, and SQL-portable so the DuckDB oracle pins each one exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small, fixed stopword sets — deterministic lang-ID heuristic shared with the
@@ -90,6 +90,41 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(t))
         .withColumn("lang_pred", lang_id(t))
         .withColumn("fingerprint", content_fingerprint(t))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (per-doc top terms — keyword extraction / doc signatures)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style); ties break by term asc. Plan: one explode → (doc, term)
+    count with map-side partial agg, a broadcast-joined term→df table (the
+    distinct-term frame is tiny relative to the corpus), and a per-doc
+    window whose partitions are bounded by the doc's own vocabulary — no
+    global sort, no skew risk beyond a single doc's term count.
+    """
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
     )
 
 

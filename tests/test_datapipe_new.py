@@ -230,3 +230,60 @@ def test_quantize_int8_exact_and_zero_vector(spark):
     assert (rows[1]["sum_q"], rows[1]["max_q"], rows[1]["min_q"]) == (0, 127, -127)
     assert rows[1]["recon_err"] == 0.0
     assert (rows[2]["sum_q"], rows[2]["max_q"], rows[2]["recon_err"]) == (0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf, deterministic sampling, domain-mix cap (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from crawlspark.datapipe.text import tfidf_top_terms
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")], "doc_id long, text string"
+    )
+    rows = [
+        (r["doc_id"], r["term"], r["tfidf"], r["rk"])
+        for r in tfidf_top_terms(docs, k=2).orderBy("doc_id", "rk").collect()
+    ]
+    idf_unique = math.log(3.0 / 2.0) + 1.0   # df=1 (apple, cherry), N=2
+    idf_shared = math.log(3.0 / 3.0) + 1.0   # df=2 (banana)
+    assert rows[0] == (1, "apple", round(2 * idf_unique, 6), 1)
+    assert rows[1] == (1, "banana", round(1 * idf_shared, 6), 2)
+    assert rows[2] == (2, "cherry", round(1 * idf_unique, 6), 1)
+    assert rows[3] == (2, "banana", round(1 * idf_shared, 6), 2)
+
+
+def test_stratified_sample_deterministic_and_rate_scaled(spark):
+    from crawlspark.datapipe.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    s1 = stratified_sample(docs, rates={"a": 50}, default_pct=10)
+    got1 = sorted(r["doc_id"] for r in s1.collect())
+    # identical on re-run (and on any partitioning)
+    got2 = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(7), rates={"a": 50}, default_pct=10).collect())
+    assert got1 == got2
+    n_a = s1.filter("source = 'a'").count()
+    n_b = s1.filter("source = 'b'").count()
+    assert 400 <= n_a <= 600      # ~50% of 1000
+    assert 50 <= n_b <= 150       # ~10% of 1000
+
+
+def test_domain_mix_cap_bounds_each_stratum(spark):
+    from crawlspark.datapipe.sampling import domain_mix_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    out = domain_mix_cap(docs, cap=20)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 20, "s1": 20, "s2": 20}
+    # deterministic draw: same rows regardless of input partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in domain_mix_cap(docs.repartition(11), cap=20).collect())
+    assert a == b
