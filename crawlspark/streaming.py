@@ -70,6 +70,29 @@ def politeness_stream(jobs_stream: DataFrame, budget_per_host: int) -> DataFrame
     )
 
 
+def dedup_stream(
+    jobs_stream: DataFrame,
+    keys: tuple[str, ...] = ("cache_key",),
+    ts_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the engine's URL-seen gate: first occurrence of each
+    key wins across micro-batches (stateful dropDuplicates).
+
+    Without `ts_col` the dedup state is global and exact — the semantics of
+    the batch seen-set (bloom+cuckoo+anti-join) as a continuous pipeline; at
+    10^10 keys pass `ts_col` so the watermark bounds state to the late-data
+    horizon (`dropDuplicatesWithinWatermark`): keys older than `delay` are
+    evicted, trading unbounded memory for at-most-once-per-horizon dedup —
+    the same trade the reference's LRU response cache makes.
+    """
+    if ts_col is None:
+        return jobs_stream.dropDuplicates(list(keys))
+    return jobs_stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def admission_rate_stream(jobs_stream: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window per-host admission counts — the streaming
     twin of the engine's metrics table (M-1/M-2)."""

@@ -88,3 +88,33 @@ def test_streaming_politeness_budget(spark, tmp_path_factory):
         # best-first: the admitted 4 are the (priority, seq)-smallest
         best = sorted(rs, key=lambda r: (r.priority, r.seq))[:4]
         assert all(r.admitted for r in best), host
+
+
+def test_streaming_dedup_first_occurrence_across_batches(spark, tmp_path_factory):
+    import pandas as pd
+
+    from crawlspark.streaming import dedup_stream
+
+    src = tmp_path_factory.mktemp("dedup_src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1); keys overlap
+    pd_a = pd.DataFrame({"cache_key": [f"k{i}" for i in range(10)], "batch": 0})
+    pd_b = pd.DataFrame({"cache_key": [f"k{i}" for i in range(5, 15)], "batch": 1})
+    spark.createDataFrame(pd_a, "cache_key string, batch int").coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(pd_b, "cache_key string, batch int").coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("cache_key string, batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_stream(stream).writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    # every key exactly once, 15 distinct keys survive out of 20 rows
+    assert sorted(r.cache_key for r in out) == sorted(f"k{i}" for i in range(15))
