@@ -311,12 +311,12 @@ def connected_components(
     labels) until fixpoint. Returns (id, component) for every node that
     appears in a pair; component = smallest node id reachable.
 
-    Scale notes: rounds = graph diameter, and near-dup components are
-    star/clique-shaped (a cluster of near-identical docs), so this converges
-    in 2-4 rounds in practice; each round is one shuffle join + one partial
-    agg, and the only driver action is a LIMIT-1 convergence probe. For
-    adversarial long-chain graphs the O(log n)-round large-star/small-star
-    alternation is the drop-in upgrade — the dedup workload doesn't need it.
+    Scale notes: each round is a neighbor-min join PLUS a pointer-jumping
+    (path-halving) join — comp := comp[comp] — so convergence is O(log
+    diameter) rounds, not O(diameter): a 10^6-long chain resolves in ~20
+    rounds instead of 10^6. Near-dup graphs are star/clique-shaped and
+    finish in 2-3 rounds regardless. Per round: two shuffle joins, one
+    partial agg, one LIMIT-1 convergence probe as the only driver action.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -338,12 +338,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            F.col("comp").alias("_old"),
+        )
+        # pointer jumping (path halving): comp := comp's own comp. Labels
+        # always point at graph nodes, so the self-join is total; this is
+        # what upgrades O(diameter) propagation to O(log diameter).
+        par = labels.select(F.col("id").alias("_pid"), F.col("comp").alias("_pcomp"))
         merged = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            stepped.join(par, stepped["comp"] == par["_pid"], "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-                F.col("comp").alias("_old"),
+                F.least(F.col("comp"), F.coalesce("_pcomp", "comp")).alias("comp"),
+                "_old",
             )
         ).localCheckpoint()
         changed = merged.filter(F.col("comp") != F.col("_old")).limit(1).count()

@@ -49,6 +49,16 @@ def test_connected_components_chain_needs_multiple_rounds(spark):
     assert got == {i: 1 for i in range(1, 7)}
 
 
+def test_connected_components_log_rounds_via_pointer_jumping(spark):
+    # 16-node path: plain min-propagation needs 15 rounds; with path halving
+    # it must finish within 7 — max_iter=7 pins the O(log diameter) claim
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "doc_a long, doc_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=7).collect()}
+    assert got == {i: 1 for i in range(1, 17)}
+
+
 def test_neardup_components_clusters_duplicates(spark):
     # docs 1/2 are near-identical (one token differs), 3 is unrelated;
     # canonical = lowest doc_id in each component, singletons self-canonical
