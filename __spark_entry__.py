@@ -795,6 +795,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_mix_cap"] = domain_mix_cap
 
+    def pack_sequences(spark, sf):
+        # greedy sequential packing into ~512-token bins via the
+        # distributed two-phase cumsum (no global-order window)
+        from crawlspark.datapipe.sampling import pack_sequences as ps
+
+        return ps(_t(spark, sf, "documents"), budget=512)
+
+    q["pack_sequences"] = pack_sequences
+
     return q
 
 
@@ -1486,6 +1495,17 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY source
                      ORDER BY {_hash60_sql("'m1|' || CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
           FROM documents) WHERE rk <= 15
+    """
+
+    o["pack_sequences"] = f"""
+        WITH sized AS (SELECT doc_id, CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens
+                       FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sized)
+        SELECT doc_id, n_tokens,
+               CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
+        FROM c
     """
 
     return o

@@ -43,6 +43,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "stratified_sample",
     "domain_mix_cap",
+    "pack_sequences",
 ]
 
 

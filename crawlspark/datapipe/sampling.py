@@ -34,6 +34,75 @@ def stratified_sample(
     return df.withColumn("_bucket", bucket).filter(F.col("_bucket") < pct).drop("_bucket")
 
 
+def scan_cumsum(
+    df: DataFrame, order_col: str, value_col: str, cum_col: str = "cum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of `value_col` in global `order_col` order,
+    WITHOUT a global-order window (which funnels the corpus through one
+    task): repartitionByRange on the order key → per-partition running sum →
+    + broadcast partition-offset join. Same two-phase shape as
+    frontier.with_inspark_rank; one range shuffle, fully lazy."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    parted = parted.withColumn("_local", F.sum(value_col).over(w_local)).persist()
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(cum_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential sequence packing: documents in deterministic id
+    order are concatenated into bins of ≈`budget` tokens — bin k holds the
+    docs whose token span starts inside [k·budget, (k+1)·budget). This is
+    the streaming-concat packing used to build fixed-length pretraining
+    examples; a doc longer than the budget claims its bins alone.
+
+    Returns (doc_id, n_tokens, bin). Cost: one range shuffle (the
+    distributed cumsum); bin assignment is a row-local expression."""
+    from crawlspark.datapipe.text import token_count
+
+    sized = df.select(
+        F.col(id_col).alias("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    cum = scan_cumsum(sized, "doc_id", "n_tokens", "cum")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("bin"),
+    )
+
+
 def domain_mix_cap(
     df: DataFrame,
     strata_col: str = "source",

@@ -297,3 +297,37 @@ def test_domain_mix_cap_bounds_each_stratum(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in domain_mix_cap(docs.repartition(11), cap=20).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_hand_computed(spark):
+    from crawlspark.datapipe.sampling import pack_sequences
+
+    # budget 5; token counts 3,3,6,2 -> starts 0,3,6,12 -> bins 0,0,1,2
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h i j k l"), (4, "m n")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bin"] for r in pack_sequences(docs, budget=5).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    from crawlspark.datapipe.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(500)], "doc_id long, text string"
+    )
+    a = sorted((r["doc_id"], r["bin"]) for r in pack_sequences(docs, budget=50).collect())
+    b = sorted(
+        (r["doc_id"], r["bin"])
+        for r in pack_sequences(docs.repartition(13), budget=50).collect()
+    )
+    assert a == b
+    # bins are contiguous from 0 and every bin start aligns with the cumsum
+    bins = [x[1] for x in a]
+    assert min(bins) == 0 and set(bins) == set(range(max(bins) + 1))
