@@ -804,6 +804,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences
 
+    def curation_pipeline(spark, sf):
+        # the capstone composition: exact dedup → repetition gate →
+        # deterministic 60% sample → 512-token sequence packing, one lazy
+        # Catalyst plan end-to-end; oracled as one DuckDB CTE chain
+        from crawlspark.datapipe.sampling import curation_pipeline as cp
+
+        return cp(_t(spark, sf, "documents"), budget=512, sample_pct=60)
+
+    q["curation_pipeline"] = curation_pipeline
+
     return q
 
 
@@ -1500,6 +1510,53 @@ def oracle_sql() -> dict[str, str]:
     o["pack_sequences"] = f"""
         WITH sized AS (SELECT doc_id, CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens
                        FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sized)
+        SELECT doc_id, n_tokens,
+               CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
+        FROM c
+    """
+
+    _STOPS = ",".join(f"'{w}'" for w in STOP_EN)
+    o["curation_pipeline"] = f"""
+        WITH k AS (
+          SELECT doc_id, text, source FROM (
+            SELECT doc_id, text, source,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM (SELECT doc_id, text, source, {_FP_SQL} AS fp FROM documents))
+          WHERE rn = 1),
+        toks AS (SELECT doc_id, {_TOKENS_SQL} AS l FROM k),
+        g5 AS (
+          SELECT doc_id,
+            CASE WHEN len(l) >= 5
+              THEN list_transform(range(0, len(l) - 4),
+                                  i -> array_to_string(l[i+1:i+5], ' '))
+              ELSE [] END AS g
+          FROM toks),
+        base AS (
+          SELECT t.doc_id,
+            round(CASE WHEN len(g) > 0
+                       THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                       ELSE 0.0 END, 6) AS dup5,
+            round(CAST(len(list_filter(l, x -> list_contains([{_STOPS}], x))) AS DOUBLE)
+                  / greatest(len(l), 1), 6) AS stopf
+          FROM toks t JOIN g5 USING (doc_id)),
+        bg AS (SELECT doc_id, unnest(CASE WHEN len(l) >= 2
+            THEN list_transform(range(0, len(l) - 1),
+                                i -> array_to_string(l[i+1:i+2], ' '))
+            ELSE [] END) AS bigram FROM toks),
+        bgc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+        bga AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM bgc GROUP BY doc_id),
+        rep AS (
+          SELECT b.doc_id FROM base b LEFT JOIN bga USING (doc_id)
+          WHERE coalesce(CAST(mx AS DOUBLE)/tot, 0.0) <= 0.2
+            AND dup5 <= 0.3 AND stopf >= 0.02),
+        samp AS (
+          SELECT k.doc_id, k.text FROM k JOIN rep USING (doc_id)
+          WHERE {_hash60_sql("'c1|' || CAST(doc_id AS VARCHAR)")} % 100 < 60),
+        sized AS (SELECT doc_id, CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens
+                  FROM samp),
         c AS (SELECT doc_id, n_tokens,
                      SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
               FROM sized)

@@ -44,6 +44,7 @@ HEADLINE = [
     "stratified_sample",
     "domain_mix_cap",
     "pack_sequences",
+    "curation_pipeline",
 ]
 
 

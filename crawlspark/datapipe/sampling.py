@@ -103,6 +103,39 @@ def pack_sequences(
     )
 
 
+def curation_pipeline(
+    df: DataFrame,
+    budget: int = 512,
+    sample_pct: int = 60,
+    salt: str = "c1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """The full corpus-curation flow as ONE composable plan: exact dedup
+    (keep lowest-id per normalized-content fingerprint) → Gopher repetition
+    gate → deterministic hash sampling → greedy sequence packing. Returns
+    (doc_id, n_tokens, bin) for the surviving documents.
+
+    Every stage is the already-tested operator; composing them stays one
+    lazy Catalyst plan end-to-end (dedup window + repetition agg + row-local
+    sample filter + the two-phase cumsum), so Catalyst prunes columns across
+    stage boundaries and AQE sizes the shuffles — the reason the pipeline is
+    declarative rather than four materialized passes.
+    """
+    from crawlspark.datapipe.dedup import exact_dedup
+    from crawlspark.datapipe.text import repetition_features
+
+    keepers = exact_dedup(df, text_col, id_col).drop("fingerprint", "dup_count")
+    rep = repetition_features(keepers, text_col, id_col).filter(F.col("keep"))
+    kept = keepers.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
+    sampled = stratified_sample(
+        kept, strata_col=strata_col, id_col=id_col,
+        default_pct=sample_pct, salt=salt,
+    )
+    return pack_sequences(sampled, budget=budget, id_col=id_col, text_col=text_col)
+
+
 def domain_mix_cap(
     df: DataFrame,
     strata_col: str = "source",

@@ -331,3 +331,26 @@ def test_pack_sequences_partitioning_invariant(spark):
     # bins are contiguous from 0 and every bin start aligns with the cumsum
     bins = [x[1] for x in a]
     assert min(bins) == 0 and set(bins) == set(range(max(bins) + 1))
+
+
+def test_curation_pipeline_composes_and_stays_deterministic(spark):
+    from crawlspark.datapipe.sampling import curation_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today", "web"),     # passes gates
+            (2, "the cat sat on the mat today", "web"),     # exact dup of 1 -> dropped
+            (3, "spam spam spam spam spam spam", "web"),    # repetition gate drops
+            (4, "the quick brown fox is of note here", "wiki"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in curation_pipeline(docs, budget=10, sample_pct=100).collect()}
+    assert 2 not in out and 3 not in out            # dedup + quality gates
+    assert set(out) == {1, 4}
+    # packing over survivors in id order: 7 tokens then 8 -> bins 0, 0
+    assert out[1]["bin"] == 0 and out[4]["bin"] == 0
+    # partitioning invariance of the whole pipeline
+    again = {r["doc_id"]: r["bin"]
+             for r in curation_pipeline(docs.repartition(5), budget=10, sample_pct=100).collect()}
+    assert again == {k: v["bin"] for k, v in out.items()}
