@@ -126,13 +126,21 @@ def curation_pipeline(
     from crawlspark.datapipe.dedup import exact_dedup
     from crawlspark.datapipe.text import repetition_features
 
-    keepers = exact_dedup(df, text_col, id_col).drop("fingerprint", "dup_count")
+    # persist the fan-out points: `keepers` feeds BOTH the repetition gate
+    # and the survivors join (and `repetition_features` itself branches its
+    # input into array-metric and bigram-count subplans), so without a cache
+    # the dedup window + tokenization re-execute per consumer — measured 28 s
+    # vs 7 s at sf0.1. At 100 TB these are the frames you'd checkpoint
+    # between pipeline stages anyway.
+    keepers = (
+        exact_dedup(df, text_col, id_col).drop("fingerprint", "dup_count").persist()
+    )
     rep = repetition_features(keepers, text_col, id_col).filter(F.col("keep"))
     kept = keepers.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
     sampled = stratified_sample(
         kept, strata_col=strata_col, id_col=id_col,
         default_pct=sample_pct, salt=salt,
-    )
+    ).persist()
     return pack_sequences(sampled, budget=budget, id_col=id_col, text_col=text_col)
 
 
