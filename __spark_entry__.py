@@ -600,8 +600,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_bucket_similarity"] = lsh_bucket_similarity
 
-    # ---- crawl engine end-to-end (non-SQL-expressible: rows-only) ----------
+    # ---- crawl engine end-to-end (oracled: DuckDB recursive-CTE twin) ------
     def crawl_bsp_end_to_end(spark, sf):
+        # the full BSP wave loop over the deterministic small world; the
+        # oracle replays the identical schedule as ONE recursive CTE
+        # (crawlspark/bsporacle.py) — selection window, fetch join,
+        # anti-joined expansion, virtual-time backoff
         from crawlspark import synth
         from crawlspark.engine import CrawlConfig, CrawlEngine
 
@@ -1564,5 +1568,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
         FROM c
     """
+
+    # the flagship: the BSP crawl loop itself as a DuckDB recursive-CTE twin
+    # (selection = window, fetch = join, expansion = anti-joined union; the
+    # working table carries pending/seen/control state between iterations) —
+    # same fixpoint pattern as neardup_components, generated from the same
+    # deterministic world the Spark query crawls (crawlspark/bsporacle.py)
+    from crawlspark import synth as _synth
+    from crawlspark.bsporacle import bsp_order_oracle_sql
+
+    o["crawl_bsp_end_to_end"] = bsp_order_oracle_sql(
+        _synth.make_world(n_hosts=4, total_pages=60), wave_budget=30
+    )
 
     return o

@@ -64,16 +64,10 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: values differ\n spark-only={diff_g}\n duck-only={diff_w}")
 
 
-def test_rows_only_queries_run(spark):
-    # non-SQL-expressible queries: must run and return a stable schema + rows
-    names = sorted(set(E.queries()) - set(E.oracle_sql()))
-    assert names  # there are some
-    for name in names:
-        if name == "crawl_bsp_end_to_end":
-            continue  # exercised (more thoroughly) by test_engine_golden
-        df = E.queries()[name](spark, SF)
-        assert df.columns, name
-        assert df.count() >= 0, name
+def test_every_query_is_oracled():
+    # round 3: every queries() entry has a DuckDB oracle — including the BSP
+    # crawl loop itself (recursive-CTE twin, crawlspark/bsporacle.py)
+    assert set(E.queries()) == set(E.oracle_sql())
 
 
 def test_entry_smoke(spark):
