@@ -529,9 +529,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures"] = minhash_signatures
 
     def simhash_16bit(spark, sf):
-        from crawlspark.datapipe.dedup import simhash16
+        # the n-bit aggregate plan at n=16 (ONE groupBy of conditional sums;
+        # the round-1 16× bit-row explode was deleted — same oracle answer)
+        from crawlspark.datapipe.dedup import simhash_agg
 
-        return simhash16(_t(spark, sf, "documents")).select("doc_id", "simhash")
+        return simhash_agg(_t(spark, sf, "documents"), n_bits=16).select(
+            "doc_id", "simhash"
+        )
 
     q["simhash_16bit"] = simhash_16bit
 
@@ -1418,7 +1422,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.doc_id,
                round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0), 6) AS top_bigram_frac,
                dup_5gram_frac, stopword_frac,
-               (coalesce(CAST(mx AS DOUBLE) / tot, 0.0) <= 0.2
+               -- the gate compares the ROUNDED fraction, same as the Spark
+               -- side (text.py repetition_features) — comparing the raw
+               -- ratio here is latent cross-engine drift at the threshold
+               (round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0), 6) <= 0.2
                 AND dup_5gram_frac <= 0.3
                 AND stopword_frac >= 0.02) AS keep
         FROM base b LEFT JOIN bga USING (doc_id)
@@ -1553,8 +1560,9 @@ def oracle_sql() -> dict[str, str]:
         bgc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
         bga AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM bgc GROUP BY doc_id),
         rep AS (
+          -- ROUNDED gate, matching the Spark side (see repetition_quality)
           SELECT b.doc_id FROM base b LEFT JOIN bga USING (doc_id)
-          WHERE coalesce(CAST(mx AS DOUBLE)/tot, 0.0) <= 0.2
+          WHERE round(coalesce(CAST(mx AS DOUBLE)/tot, 0.0), 6) <= 0.2
             AND dup5 <= 0.3 AND stopf >= 0.02),
         samp AS (
           SELECT k.doc_id, k.text FROM k JOIN rep USING (doc_id)

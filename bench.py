@@ -70,6 +70,10 @@ def main() -> None:
             except Exception:
                 pass
 
+    from crawlspark.datapipe import release_caches
+
+    release_caches(spark)  # drop frames the warmup persisted
+
     timings: dict[str, float] = {}
     t_total0 = time.monotonic()
     for name in HEADLINE:
@@ -78,6 +82,9 @@ def main() -> None:
         # noop sink forces full computation without driver-side collect
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # cache hygiene: operators persist fan-out frames for their own
+        # action; release them so queries don't eat each other's storage
+        release_caches(spark)
 
     from bench.run_crawl import run_crawl_bench
 

@@ -189,42 +189,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash (SQL-portable; the 64-bit variant is the same plan with
-    a longer bit sequence). Per token: md5-derived hash; per bit: ±1 vote."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", hash60(F.col("tok")))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-        "h",
-    ).withColumn(
-        # shiftright with a *column* shift amount needs the SQL form
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-            ).cast("long").alias("simhash")
-        )
-    )
-
-
 def simhash_agg(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 48
 ) -> DataFrame:
     """n-bit SimHash with NO bit-row explosion: per-token hash once, then
     n_bits conditional-sum aggregates in ONE groupBy (the same k-aggregates
-    trick as minhash_signature_arrays). simhash16 explodes each token into
-    16 bit-rows — constant-factor but real map-stage inflation at 100 TB;
-    here the shuffle input is one row per token and the partial agg carries
-    n_bits counters. n_bits ≤ 60 (hash60 provides 60 usable bits; bit i
+    trick as minhash_signature_arrays). The superseded round-1 plan exploded
+    each token into n_bits bit-rows — constant-factor but real map-stage
+    inflation at 100 TB (deleted round 3; this aggregate form now serves the
+    16-bit contract query too). Here the shuffle input is one row per token
+    and the partial agg carries n_bits counters.
+    n_bits ≤ 60 (hash60 provides 60 usable bits; bit i
     must also fit a signed long, so n_bits ≤ 60 keeps 1<<i exact)."""
     if not 1 <= n_bits <= 60:
         raise ValueError("n_bits must be in [1, 60] (hash60 is 60-bit)")

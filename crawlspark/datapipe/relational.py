@@ -31,7 +31,12 @@ def asof_join_prior(
     sort BEFORE right rows (_is_left DESC), so a window ending at the
     previous row can never see a same-timestamp right row. Among right rows
     with identical (key, ts) the payload ordering breaks ties
-    deterministically.
+    deterministically — it picks the MAX payload. A native ASOF JOIN (e.g.
+    DuckDB's, the oracle for asof_join_events) picks an ARBITRARY row among
+    such ties, so oracle parity requires the payload to be functionally
+    determined by (key, ts); callers with duplicate right timestamps and an
+    independent payload should pre-aggregate right to one row per (key, ts)
+    (e.g. max_by) before joining.
     """
     l = left.select(
         F.col(on).alias("_k"),

@@ -54,6 +54,8 @@ def scan_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # persisted until the caller's action completes — released by
+    # datapipe.release_caches (module-docstring cache contract)
     parted = parted.withColumn("_local", F.sum(value_col).over(w_local)).persist()
     offsets = (
         parted.groupBy("_pid")
@@ -121,7 +123,9 @@ def curation_pipeline(
     lazy Catalyst plan end-to-end (dedup window + repetition agg + row-local
     sample filter + the two-phase cumsum), so Catalyst prunes columns across
     stage boundaries and AQE sizes the shuffles — the reason the pipeline is
-    declarative rather than four materialized passes.
+    declarative rather than four materialized passes. The persisted fan-out
+    frames below live until the caller's consuming action; release them with
+    datapipe.release_caches (module-docstring cache contract).
     """
     from crawlspark.datapipe.dedup import exact_dedup
     from crawlspark.datapipe.text import repetition_features

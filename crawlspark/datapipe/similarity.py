@@ -12,6 +12,8 @@ hyperplanes for k-means centroids; the plan shape is identical.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,24 +37,73 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (query ≠ neighbor).
 
-    queries is expected small → broadcast; the per-query top-k is a window
-    over the joined frame (partition count = n_queries, each bounded by
-    corpus size — for huge corpora switch to per-partition top-k + re-rank,
-    same two-phase trick as politeness.per_host_topk).
+    Scale shape (the round-2 version's two named defects, both fixed here):
+
+      * scoring is ONE numpy matmul per Arrow batch (`C @ Q.T` inside
+        mapInPandas), not D interpreted higher-order-function calls per pair
+        — the 100× kernel for dim-D vectors;
+      * the per-query top-k is two-phase: each corpus batch emits only its
+        own top-k rows per query (≤ k·|Q| rows per batch leave the kernel),
+        and the final window re-ranks the ≤ k·n_batches survivors per query
+        — no per-query window ever sees the full corpus (the same
+        per-partition-top-k + re-rank shape as politeness.per_host_topk).
+
+    The query set is collected to the driver and shipped as a broadcast
+    numpy matrix — queries are the small side of an ANN search by contract
+    (for query sets too big to broadcast, use ivf_topk / lsh_bucket_neighbors:
+    same answer shape, bucketed join instead of a dense matmul).
     """
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
-    )
+    spark = corpus.sparkSession
+    qid_t = dict(queries.dtypes)[id_col]
+    nid_t = dict(corpus.dtypes)[id_col]
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_t}, nbr_id {nid_t}, cosine double, rk int"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    out_schema = f"query_id {qid_t}, nbr_id {nid_t}, cosine double"
+
+    def _score(batches):
+        b_qids, b_q, b_qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ b_q.T) / np.outer(cnorm, b_qn)  # B × |Q|
+            nbr = pdf[id_col].to_numpy()
+            parts = []
+            for j, qid in enumerate(b_qids):
+                col = sims[:, j]
+                mask = nbr != qid  # query ≠ neighbor
+                cand_idx = np.flatnonzero(mask)
+                if cand_idx.size == 0:
+                    continue
+                # batch-local top-k by (cosine desc, nbr_id asc) — the exact
+                # global top-k is a monotone function of these survivors
+                order = np.lexsort((nbr[cand_idx], -col[cand_idx]))[:k]
+                keep = cand_idx[order]
+                parts.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "nbr_id": nbr[keep], "cosine": col[keep]}
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    survivors = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    # re-rank: ≤ k rows per (query, batch) survive, so this window's
+    # partitions are O(k · n_batches), never the corpus
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), F.col("rk").cast("int").alias("rk"))
     )
@@ -153,18 +204,53 @@ def ivf_topk(
 
 
 def quantize_int8(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage/ANN compression
     step of an embedding pipeline: scale = max|x|/127, q_i = round-half-up
     (floor(x/scale + 0.5)), reconstruction x̂ = q·scale.
 
-    Pure Catalyst array expressions, zero Python, zero shuffle (per-row only).
-    Rounding is pinned to floor(+0.5) in BOTH engines because SQL round()
-    half-rule differs between Spark (HALF_UP) and others (banker's) — the
-    oracle must reproduce q exactly. Returns integral checksums of q plus the
-    reconstruction error so the contract is hash-comparable.
+    Row-local (zero shuffle) either way; rounding is pinned to floor(+0.5)
+    in BOTH engines because SQL round() half-rule differs between Spark
+    (HALF_UP) and others (banker's). Returns integral checksums of q plus
+    the reconstruction error so the contract is hash-comparable.
+
+    impl="numpy" (default): one Arrow-batched pandas UDF doing the whole
+    row's math as numpy array ops — Catalyst higher-order-function lambdas
+    are interpreted per ELEMENT, so the old impl="hof" path paid ~5·dim
+    interpreted calls per row (measured A/B at sf0.1 in BENCH/BASELINE.md;
+    the hof path is kept for that comparison and as the no-Arrow fallback).
     """
+    if impl == "numpy":
+
+        @F.pandas_udf("struct<sum_q:int,max_q:int,min_q:int,recon_err:double>")
+        def _quant(vs: pd.Series) -> pd.DataFrame:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs.to_numpy()])
+            amax = np.abs(mat).max(axis=1)
+            nz = amax > 0
+            scale = np.where(nz, amax / 127.0, 1.0)
+            q = np.floor(mat / scale[:, None] + 0.5).astype(np.int64)
+            q[~nz] = 0
+            err2 = ((mat - q * scale[:, None]) ** 2).sum(axis=1)
+            return pd.DataFrame(
+                {
+                    "sum_q": q.sum(axis=1).astype("int32"),
+                    "max_q": q.max(axis=1).astype("int32"),
+                    "min_q": q.min(axis=1).astype("int32"),
+                    "recon_err": np.round(np.sqrt(err2), 6),
+                }
+            )
+
+        s = _quant(F.col(vec_col))
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            s.getField("sum_q").alias("sum_q"),
+            s.getField("max_q").alias("max_q"),
+            s.getField("min_q").alias("min_q"),
+            s.getField("recon_err").alias("recon_err"),
+        )
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)

@@ -105,20 +105,30 @@ def tfidf_top_terms(
 
     tf = term count within the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
     sklearn-style); ties break by term asc. Plan: one explode → (doc, term)
-    count with map-side partial agg, a broadcast-joined term→df table (the
-    distinct-term frame is tiny relative to the corpus), and a per-doc
-    window whose partitions are bounded by the doc's own vocabulary — no
-    global sort, no skew risk beyond a single doc's term count.
+    count with map-side partial agg, the term→df table joined back on `term`
+    (tf and dfreq are co-partitioned on term, so the join reuses the
+    aggregation's shuffle; NO broadcast hint — a web-scale corpus has 10^8+
+    distinct terms, gigabytes if forced to every executor, and AQE will
+    still broadcast when the frame actually fits), and a per-doc window
+    whose partitions are bounded by the doc's own vocabulary — no global
+    sort, no skew risk beyond a single doc's term count.
+
+    N is derived INSIDE the plan (a 1-row count aggregate broadcast-joined
+    in) — the round-2 version ran an eager df.count() at plan-build time, a
+    full corpus pass before the real job that also broke lazy composition.
     """
-    n_docs = df.count()
+    n_docs = df.select(F.count("*").cast("double").alias("_n"))
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * idf, 6)
+    idf = F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        .drop("_n")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
