@@ -70,6 +70,52 @@ def politeness_stream(jobs_stream: DataFrame, budget_per_host: int) -> DataFrame
     )
 
 
+def politeness_stream_windowed(
+    jobs_stream: DataFrame, budget_per_host: int, window_col: str = "wave"
+) -> DataFrame:
+    """Per-window per-host budget — the exact streaming twin of the batch
+    engine's politeness (budgets.max_per_wave resets every wave, engine.py
+    stage 2): state per host is (last_window, used); a new window value
+    resets the counter. ALL input columns pass through plus `admitted`, so
+    the admitted sub-stream can flow straight into the fetch join without a
+    stream-stream re-join.
+
+    Feed shape: micro-batch == window (e.g. one file per wave under
+    maxFilesPerTrigger=1 + availableNow). Within an Arrow batch the sort is
+    (window, priority, seq); admission inside each window is a vectorized
+    prefix count, the same zero-loop shape as admit_with_budget."""
+    import numpy as np
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in jobs_stream.schema.fields)
+        + ", admitted boolean"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        last_w, used = state.get if state.exists else (-1, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([window_col, "priority", "seq"]).reset_index(drop=True)
+            admitted = np.zeros(len(pdf), dtype=bool)
+            i = 0
+            for w, grp in pdf.groupby(window_col, sort=True):
+                if int(w) != last_w:
+                    last_w, used = int(w), 0
+                adm = used + np.arange(len(grp)) < budget_per_host
+                admitted[i : i + len(grp)] = adm
+                used += int(adm.sum())
+                i += len(grp)
+            yield pdf.assign(admitted=admitted)
+        state.update((last_w, used))
+
+    return jobs_stream.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_window int, used int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     jobs_stream: DataFrame,
     keys: tuple[str, ...] = ("cache_key",),
