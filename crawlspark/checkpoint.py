@@ -24,7 +24,15 @@ MANIFEST = "manifest.json"
 
 
 class TableIO:
-    """Parquet-directory tables + one JSON snapshot manifest per workdir."""
+    """Parquet-directory tables + one JSON snapshot manifest per workdir.
+
+    This class IS the catalog seam: the engine talks only to this surface
+    (read_manifest/commit_manifest, write_wave/read_wave/wave_exists/
+    read_waves, write_blob/read_blob) and never touches paths or the
+    filesystem itself, so a real Iceberg catalog — or any other table store
+    — drops in by passing `table_io=` to CrawlEngine. The swap is pinned by
+    tests/test_tableio_contract.py, which runs the kill-and-resume contract
+    against a non-filesystem fake catalog."""
 
     def __init__(self, spark, workdir: str):
         self.spark = spark
@@ -56,6 +64,12 @@ class TableIO:
     # -- wave-partitioned tables -------------------------------------------
     def wave_path(self, table: str, wave: int) -> str:
         return os.path.join(self.workdir, table, f"wave={wave}")
+
+    def wave_exists(self, table: str, wave: int) -> bool:
+        return os.path.exists(self.wave_path(table, wave))
+
+    def read_wave(self, table: str, wave: int):
+        return self.spark.read.parquet(self.wave_path(table, wave))
 
     def write_wave(self, df, table: str, wave: int) -> str:
         path = self.wave_path(table, wave)

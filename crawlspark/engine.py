@@ -127,6 +127,7 @@ class CrawlEngine:
         images: DataFrame | None = None,
         config: CrawlConfig | None = None,
         response_cache: DataFrame | None = None,
+        table_io: TableIO | None = None,
     ):
         self.spark = spark
         # C-2: cache-first fetch — hits skip the fetch join but still flow
@@ -139,7 +140,11 @@ class CrawlEngine:
         self.robots = robots.persist()
         self.budgets = budgets.persist()
         self.images = images
-        self.io = TableIO(spark, self.cfg.workdir) if self.cfg.workdir else None
+        # the catalog seam: any object with the TableIO surface drops in
+        # (a real Iceberg catalog on a cluster; a fake in the contract test)
+        self.io = table_io if table_io is not None else (
+            TableIO(spark, self.cfg.workdir) if self.cfg.workdir else None
+        )
         self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self._seen_chain = 0
         self._n_seed_allowed = 0
@@ -445,7 +450,7 @@ class CrawlEngine:
         same computation, one fewer serial barrier per call site."""
         if self.io:
             self.io.write_wave(df, table, wave)
-            return self.spark.read.parquet(self.io.wave_path(table, wave))
+            return self.io.read_wave(table, wave)
         return df.localCheckpoint(eager=False)
 
     # ------------------------------------------------------------------ #
@@ -478,10 +483,8 @@ class CrawlEngine:
                     ("results", results_parts),
                     ("terminal", terminal_parts),
                 ):
-                    import os
-
-                    if os.path.exists(self.io.wave_path(tbl, w0)):
-                        parts.append(spark.read.parquet(self.io.wave_path(tbl, w0)))
+                    if self.io.wave_exists(tbl, w0):
+                        parts.append(self.io.read_wave(tbl, w0))
             self._seen_rows = seen.count()
             n_pending = manifest.get("n_pending")
             if n_pending is None:  # pre-round-2 manifest — one-time fallback
