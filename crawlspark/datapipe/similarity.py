@@ -135,6 +135,40 @@ def lsh_signature(vec, n_bits: int = 8, dim: int = 16):
     return sig
 
 
+def _hyperplanes_np(n_bits: int, dim: int) -> "np.ndarray":
+    """The exact hyperplane matrix lsh_signature derives in Catalyst, built
+    driver-side: h[i][j] = +1 if hash60(f"{i}|{j}") is odd else -1, with
+    hash60 = int(md5[:15 hex], 16) — bit-identical to text.hash60 and to the
+    DuckDB oracle's derivation."""
+    import hashlib
+
+    h = np.empty((n_bits, dim), dtype=np.float64)
+    for i in range(n_bits):
+        for j in range(dim):
+            v = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:15], 16)
+            h[i, j] = 1.0 if v % 2 == 1 else -1.0
+    return h
+
+
+def lsh_signature_np(n_bits: int = 8, dim: int = 16):
+    """Numpy twin of lsh_signature as an Arrow-batched pandas UDF: ONE
+    matmul (batch × hyperplanes) per batch instead of n_bits × dim
+    interpreted higher-order-function ops per row (the same kernel swap as
+    cosine_topk/quantize_int8; A/B in BENCH/BASELINE.md §7). Same sign rule:
+    the projection is rounded to 6 dp before the > 0 test."""
+    hmat = _hyperplanes_np(n_bits, dim)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _sig(vs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs.to_numpy()])
+        proj = mat @ hmat.T  # B × n_bits
+        bits = np.round(proj, 6) > 0
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return _sig
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -278,13 +312,23 @@ def lsh_bucket_neighbors(
     dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Bucketed candidate pairs with exact cosine, computed only inside
-    buckets — the O(n) shuffle scale path for all-pairs similarity."""
+    buckets — the O(n) shuffle scale path for all-pairs similarity.
+
+    impl="numpy" computes signatures with the matmul kernel
+    (lsh_signature_np); "hof" keeps the pure-Catalyst expression (the
+    DuckDB-oracle-shaped derivation both reproduce bit-for-bit)."""
+    bucket = (
+        lsh_signature_np(n_bits, dim)(F.col(vec_col))
+        if impl == "numpy"
+        else lsh_signature(F.col(vec_col), n_bits, dim)
+    )
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_signature(F.col(vec_col), n_bits, dim).alias("bucket"),
+        bucket.alias("bucket"),
     )
     a = sig.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = sig.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
