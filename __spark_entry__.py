@@ -604,6 +604,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_bucket_similarity"] = lsh_bucket_similarity
 
+    def pq_encode(spark, sf):
+        # product-quantization encoding (IVF-PQ storage format): 8 subspace
+        # codes per vector by argmin-L2 centroid + reconstruction error;
+        # numpy kernel per Arrow batch, broadcast codebook, zero shuffle
+        from crawlspark.datapipe.similarity import pq_encode as pe
+
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        return pe(e, n_centroids=16, n_sub=8)
+
+    q["pq_encode"] = pq_encode
+
+    def pq_adc_topk(spark, sf):
+        # asymmetric-distance top-k over the PQ codes: per-query distance
+        # tables (n_sub × K, broadcast) + n_sub lookups per candidate — the
+        # compressed query path that never touches raw corpus vectors
+        from crawlspark.datapipe.similarity import pq_adc_topk as pat
+
+        e = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        return pat(e, e.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_sub=8)
+
+    q["pq_adc_topk"] = pq_adc_topk
+
     # ---- crawl engine end-to-end (oracled: DuckDB recursive-CTE twin) ------
     def crawl_bsp_end_to_end(spark, sf):
         # the full BSP wave loop over the deterministic small world; the
@@ -1283,6 +1309,62 @@ def oracle_sql() -> dict[str, str]:
                round(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
         FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+    # PQ: identical deterministic codebook (16 lowest-id vectors, subspace m
+    # = dims [8m, 8m+8)), identical 9-dp rounding of every subspace distance
+    # BEFORE argmin/summation so float order can't flip a code or a rank
+    _PQ_CENTS = """
+        cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+        subs AS (SELECT unnest(range(0, 8)) AS m),
+        subd AS (
+          SELECT v.vec_id, c.cidx, subs.m,
+                 round(list_sum(list_transform(range(1, 9),
+                   j -> pow(e[CAST(subs.m * 8 + j AS INT)] - ce[CAST(subs.m * 8 + j AS INT)], 2))), 9) AS d2
+          FROM v, cents c, subs),
+        best AS (
+          SELECT vec_id, m, cidx, d2,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cidx) AS rn
+          FROM subd),
+        codes AS (SELECT vec_id, m, cidx FROM best WHERE rn = 1)
+    """
+
+    o["pq_encode"] = f"""
+        WITH {_PQ_CENTS.strip()},
+        codes_arr AS (
+          SELECT vec_id, list(CAST(cidx AS INT) ORDER BY m) AS codes
+          FROM codes GROUP BY vec_id),
+        se AS (
+          SELECT k.vec_id,
+                 list_sum(list_transform(range(1, 9),
+                   j -> pow(v.e[CAST(k.m * 8 + j AS INT)] - c.ce[CAST(k.m * 8 + j AS INT)], 2))) AS s
+          FROM codes k JOIN cents c ON c.cidx = k.cidx JOIN v ON v.vec_id = k.vec_id),
+        err AS (SELECT vec_id, round(sqrt(sum(s)), 6) AS recon_err FROM se GROUP BY vec_id)
+        SELECT a.vec_id, a.codes, e.recon_err
+        FROM codes_arr a JOIN err e USING (vec_id)
+    """
+
+    o["pq_adc_topk"] = f"""
+        WITH {_PQ_CENTS.strip()},
+        qt AS (
+          SELECT v.vec_id AS query_id, c.cidx, subs.m,
+                 round(list_sum(list_transform(range(1, 9),
+                   j -> pow(e[CAST(subs.m * 8 + j AS INT)] - ce[CAST(subs.m * 8 + j AS INT)], 2))), 9) AS d2
+          FROM v, cents c, subs WHERE v.vec_id < 8),
+        adc AS (
+          SELECT t.query_id, k.vec_id AS nbr_id, round(sum(t.d2), 6) AS adc_dist
+          FROM codes k JOIN qt t ON t.cidx = k.cidx AND t.m = k.m
+          WHERE k.vec_id != t.query_id
+          GROUP BY t.query_id, k.vec_id)
+        SELECT query_id, nbr_id, adc_dist, CAST(rk AS INT) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rk
+          FROM adc)
+        WHERE rk <= 5
     """
 
     # image queries: VALUES twins built from the driver-side decode of the

@@ -34,6 +34,7 @@ HEADLINE = [
     "neardup_components",
     "repetition_quality",
     "cosine_topk_bruteforce",
+    "pq_adc_topk",
     "embedding_neardup",
     "token_count",
     "lang_id_heuristic",

@@ -306,6 +306,158 @@ def quantize_int8(
     )
 
 
+def _pq_codebook(corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    """Deterministic PQ codebook: the n_centroids lowest-id corpus vectors
+    (the same k-means-free convention as ivf_topk — trained centroids swap
+    in without changing any plan). Returns a K × D float64 matrix; subspace
+    m uses columns [m·d, (m+1)·d)."""
+    rows = corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _pq_dist2(x_sub: "np.ndarray", c_sub: "np.ndarray") -> "np.ndarray":
+    """Per-subspace squared L2 (B × K), rounded to 9 dp — BOTH engines round
+    each subspace distance before any comparison or summation, so cross-
+    engine float-order differences cannot flip an argmin or a ranking."""
+    d2 = ((x_sub[:, None, :] - c_sub[None, :, :]) ** 2).sum(axis=-1)
+    return np.round(d2, 9)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding — the compressed-vector storage format
+    of an IVF-PQ ANN index: each dim-D vector becomes n_sub uint8 codes
+    (argmin squared-L2 centroid per subspace; ties → lowest centroid index)
+    plus the reconstruction error. D must divide evenly by n_sub.
+
+    Scale shape: the codebook is a broadcast K × D matrix; encoding is one
+    numpy kernel per Arrow batch (row-local, zero shuffle) — 10^10 vectors
+    encode embarrassingly parallel, and downstream ADC search touches only
+    the n_sub-byte codes, never the raw vectors. DuckDB-oracled
+    (`pq_encode` contract query): identical centroid convention, identical
+    per-subspace 9-dp rounding.
+    """
+    cmat = _pq_codebook(corpus, n_centroids, id_col, vec_col)
+    _k, dim = cmat.shape
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    id_t = dict(corpus.dtypes)[id_col]
+    bc = corpus.sparkSession.sparkContext.broadcast(cmat)
+
+    def _enc(batches):
+        cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            codes = np.empty((len(x), n_sub), dtype=np.int64)
+            for m in range(n_sub):
+                d2 = _pq_dist2(x[:, m * d:(m + 1) * d], cb[:, m * d:(m + 1) * d])
+                codes[:, m] = d2.argmin(axis=1)  # first min → lowest index
+            recon = np.concatenate(
+                [cb[codes[:, m], m * d:(m + 1) * d] for m in range(n_sub)], axis=1
+            )
+            err = np.sqrt(((x - recon) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "codes": list(codes.astype("int32")),
+                    "recon_err": np.round(err, 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _enc, f"vec_id {id_t}, codes array<int>, recon_err double"
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the query path of an IVF-PQ
+    index: each query precomputes an n_sub × K table of (9-dp-rounded)
+    squared distances to every centroid, and a candidate's approximate
+    distance is n_sub table lookups summed — no raw corpus vectors touched.
+
+    Same two-phase shape as cosine_topk: per-batch top-k inside the kernel
+    (≤ k·|Q| rows leave each batch), tiny re-rank window after. Ties break
+    (adc_dist asc, nbr_id asc)."""
+    spark = corpus.sparkSession
+    cmat = _pq_codebook(corpus, n_centroids, id_col, vec_col)
+    _kk, dim = cmat.shape
+    d = dim // n_sub
+    qid_t = dict(queries.dtypes)[id_col]
+    nid_t = dict(corpus.dtypes)[id_col]
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_t}, nbr_id {nid_t}, adc_dist double, rk int"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # per-query distance tables: |Q| × n_sub × K, each entry rounded to 9 dp
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    _pq_dist2(q[None, m * d:(m + 1) * d], cmat[:, m * d:(m + 1) * d])[0]
+                    for m in range(n_sub)
+                ]
+            )
+            for q in qmat
+        ]
+    )
+    bc = spark.sparkContext.broadcast((qids, tables))
+    codes = pq_encode(corpus, n_centroids, n_sub, id_col, vec_col)
+
+    def _score(batches):
+        b_qids, b_tables = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat_codes = np.stack(pdf["codes"].to_numpy())  # B × n_sub
+            nbr = pdf["vec_id"].to_numpy()
+            parts = []
+            for qi, qid in enumerate(b_qids):
+                t = b_tables[qi]  # n_sub × K
+                dist = np.round(t[np.arange(n_sub), cmat_codes].sum(axis=1), 6)
+                mask = nbr != qid
+                cand = np.flatnonzero(mask)
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((nbr[cand], dist[cand]))[:k]
+                keep = cand[order]
+                parts.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "nbr_id": nbr[keep], "adc_dist": dist[keep]}
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    survivors = codes.mapInPandas(
+        _score, f"query_id {qid_t}, nbr_id {nid_t}, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nbr_id"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "adc_dist", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def lsh_bucket_neighbors(
     corpus: DataFrame,
     n_bits: int = 8,
