@@ -177,6 +177,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF-flat approximate nearest neighbors: partition the corpus into
     `n_cells` cells by nearest centroid, probe the query's `n_probe` nearest
@@ -187,7 +188,16 @@ def ivf_topk(
     frame; the plan shape is the canonical IVF one: a broadcast argmax
     assignment, a cell-key equi-join, and a per-query window over the probed
     subset — O(corpus) shuffle instead of queries × corpus).
+
+    impl="numpy" (default): the argmax assignment is one matmul per Arrow
+    batch against the broadcast centroid matrix, and pair scoring after the
+    cell join is a row-wise numpy kernel — replacing ~n_cells × dim + dim
+    interpreted higher-order-function ops per row. Identical 9-dp
+    assignment rounding and tie-breaks as the HOF path and the DuckDB
+    oracle, so the answer is unchanged. impl="hof" keeps pure Catalyst.
     """
+    if impl == "numpy":
+        return _ivf_topk_np(corpus, queries, k, n_cells, n_probe, id_col, vec_col)
     cents = (
         corpus.orderBy(id_col)
         .limit(n_cells)
@@ -303,6 +313,90 @@ def quantize_int8(
         F.array_max(q).alias("max_q"),
         F.array_min(q).alias("min_q"),
         F.round(F.sqrt(err2), 6).alias("recon_err"),
+    )
+
+
+def _ivf_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Numpy-kernel IVF (see ivf_topk): broadcast centroid matrix, matmul
+    cell assignment, driver-side probe selection (queries are the small
+    side), row-wise scoring kernel after the cell equi-join."""
+    spark = corpus.sparkSession
+    crows = corpus.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+    cent_ids = np.array([r[0] for r in crows])
+    cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    nid_t = dict(corpus.dtypes)[id_col]
+    qid_t = dict(queries.dtypes)[id_col]
+    bc = spark.sparkContext.broadcast((cent_ids, cmat, cnorm))
+
+    def _assign(batches):
+        b_ids, b_c, b_cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()])
+            xn = np.linalg.norm(x, axis=1)
+            cos = np.round((x @ b_c.T) / np.outer(xn, b_cn), 9)
+            # argmax picks the FIRST max → lowest centroid index; centroids
+            # are sorted by id, so ties break to the lowest cent_id (the
+            # max_by (cos, -cent_id) convention of the HOF path + oracle)
+            cell = b_ids[cos.argmax(axis=1)]
+            yield pd.DataFrame(
+                {"nbr_id": pdf[id_col].to_numpy(), "v": pdf[vec_col].to_numpy(), "cell": cell}
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        _assign, f"nbr_id {nid_t}, v array<double>, cell {nid_t}"
+    )
+
+    # probe selection driver-side: queries are the collected small side
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id {qid_t}, nbr_id {nid_t}, cosine double, rk int"
+        )
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        qn = np.linalg.norm(q)
+        cos = np.round((cmat @ q) / (cnorm * qn), 9)
+        order = np.lexsort((cent_ids, -cos))[:n_probe]
+        for ci in order:
+            probe_rows.append((r[0], list(map(float, q)), cent_ids[ci].item()))
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {qid_t}, qv array<double>, cell {nid_t}"
+    )
+
+    @F.pandas_udf("double")
+    def _cos_pair(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in qv.to_numpy()])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in cv.to_numpy()])
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / den)
+
+    scored = (
+        F.broadcast(probes).join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", _cos_pair(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 
