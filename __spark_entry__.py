@@ -805,6 +805,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_top_terms"] = tfidf_top_terms
 
+    def unigram_surprisal(spark, sf):
+        # CCNet-style perplexity-filter stand-in: per-doc mean unigram
+        # surprisal under the corpus's own token distribution; total token
+        # count folded into the plan (lazy), freq join co-partitioned
+        from crawlspark.datapipe.text import unigram_surprisal as us
+
+        return us(_t(spark, sf, "documents"))
+
+    q["unigram_surprisal"] = unigram_surprisal
+
+    def span_dedup(spark, sf):
+        # C4-style cross-document boilerplate removal at span granularity:
+        # non-overlapping 3-token chunks occurring in >1 document are
+        # stripped; md5 of the reassembled text pins exact removal spans
+        from crawlspark.datapipe.text import span_dedup as sd
+
+        return sd(_t(spark, sf, "documents"), window=3, max_df=1)
+
+    q["span_dedup"] = span_dedup
+
     def stratified_sample(spark, sf):
         # deterministic hash-based per-stratum sampling — reproducible on
         # any cluster/partitioning (no df.sample seed plumbing); zero shuffle
@@ -1657,6 +1677,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens,
                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
         FROM c
+    """
+
+    o["unigram_surprisal"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+        freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+               round(avg(-ln(cnt / (SELECT n FROM tot))), 6) AS avg_surprisal
+        FROM tok JOIN freq USING (term)
+        GROUP BY doc_id
+    """
+
+    o["span_dedup"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS l FROM documents),
+        ch AS (
+          SELECT doc_id, CAST(pos AS INT) AS pos,
+                 array_to_string(l[CAST(pos * 3 + 1 AS INT):CAST(pos * 3 + 3 AS INT)], ' ') AS chunk
+          FROM (SELECT doc_id, l,
+                       unnest(range(0, greatest(CAST(ceil(len(l) / 3.0) AS BIGINT), 1))) AS pos
+                FROM toks WHERE len(l) > 0)
+          WHERE array_to_string(l[CAST(pos * 3 + 1 AS INT):CAST(pos * 3 + 3 AS INT)], ' ') != ''),
+        cdf AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+        marked AS (SELECT ch.*, (cdf.df <= 1) AS keep FROM ch JOIN cdf USING (chunk))
+        SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed,
+               md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
+        FROM marked GROUP BY doc_id
     """
 
     # the flagship: the BSP crawl loop itself as a DuckDB recursive-CTE twin

@@ -39,6 +39,8 @@ HEADLINE = [
     "token_count",
     "lang_id_heuristic",
     "pii_scrub",
+    "unigram_surprisal",
+    "span_dedup",
     "asof_join_events",
     "embedding_quantize",
     "tfidf_top_terms",

@@ -246,6 +246,107 @@ def repetition_features(
 
 
 # ---------------------------------------------------------------------------
+# unigram surprisal — CCNet-style LM-perplexity quality filter, corpus-self-
+# trained: rare-token-heavy (gibberish) and ultra-common-token (boilerplate)
+# documents land at the distribution's tails
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram surprisal −mean(ln p(tok)), with p from the
+    corpus's own token counts (the cheap stand-in for the KenLM perplexity
+    filter of CCNet-style pipelines; threshold on avg_surprisal to drop
+    outlier docs).
+
+    Plan: one explode → token counts (map-side partial agg), total-token
+    count folded into the plan as a 1-row broadcast aggregate (no eager
+    pass, same trick as tfidf_top_terms), token→count join co-partitioned on
+    the token, one per-doc average. Fully lazy, two shuffles, no UDF.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.select(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tok.join(freq, "term")
+        .join(F.broadcast(total))
+        .withColumn("_s", -F.log(F.col("cnt") / F.col("_n")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(F.avg("_s"), 6).alias("avg_surprisal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span removal — the C4 "remove repeated lines/spans across
+# documents" pass at fixed token-window granularity
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    max_df: int = 2,
+) -> DataFrame:
+    """Remove boilerplate SPANS (non-overlapping `window`-token chunks that
+    occur in more than `max_df` documents) from every document — C4's
+    cross-document line-dedup re-expressed for unlined text: navigation
+    chrome, cookie banners, and license blocks repeat verbatim across pages
+    and survive doc-level dedup because the surrounding text differs.
+
+    Returns (doc_id, n_spans, n_removed, clean_md5) — the md5 of the
+    reassembled (order-preserved) surviving text pins the exact removal
+    spans cross-engine. Plan: explode non-overlapping chunks (array slice,
+    zero overlap → corpus token count total, not a shingle blowup), one
+    chunk-count aggregate, one co-partitioned join back, one ordered
+    per-doc reassembly via sort_array over (pos, chunk) structs — no UDF,
+    no window function.
+    """
+    toksed = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n_chunks = F.ceil(F.size("_toks") / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * window + 1, window), " "),
+    )
+    ch = toksed.filter(F.size("_toks") > 0).select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    ).filter(F.col("chunk") != "")
+    cdf = ch.groupBy("chunk").agg(F.count_distinct("doc_id").alias("_df"))
+    marked = ch.join(cdf, "chunk").withColumn("_keep", F.col("_df") <= max_df)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_spans"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).cast("int").alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.struct(F.col("pos"), F.col("chunk")),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("chunk"),
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # rolling-hash character-shingle sketch — pure Catalyst, oracle-checkable
 # ---------------------------------------------------------------------------
 
