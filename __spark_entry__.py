@@ -734,6 +734,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_thumbnail_stats"] = image_thumbnail_stats
 
+    def audio_decode_features(spark, sf):
+        # REAL WAV/PCM16 decode (RIFF struct walk, no codec lib) + per-clip
+        # duration/RMS/ZCR/peak; corrupt clips → decode_ok=False rows; the
+        # oracle is a VALUES twin decoded driver-side from the same bytes
+        from crawlspark.datapipe.multimodal import audio_features
+
+        clips = spark.createDataFrame(_av_audio_clips(), "clip_id string, bytes binary")
+        return audio_features(clips)
+
+    q["audio_decode_features"] = audio_decode_features
+
+    def video_frame_stats(spark, sf):
+        # REAL frame-container decode (VPPM, the MJPEG shape with PPM
+        # frames): every 3rd frame's dims + quantized luminance + payload md5
+        from crawlspark.datapipe.multimodal import video_frame_sample
+
+        clips = spark.createDataFrame(_av_video_clips(), "clip_id string, bytes binary")
+        return video_frame_sample(clips, every_n=3)
+
+    q["video_frame_stats"] = video_frame_stats
+
     def pii_scrub(spark, sf):
         # pre-training PII redaction: deterministic PII-bearing text built
         # from customer columns, then engine-portable regex count + redact
@@ -911,6 +932,38 @@ def _thumb_stats_driver():
             )
         )
     return out
+
+
+def _av_audio_clips():
+    """Deterministic WAV fixtures (crawlspark.av synth — md5-seeded tones,
+    mixed sample rates, one stereo, one corrupt) shared by the Spark query
+    and its driver-decoded VALUES oracle."""
+    import numpy as np
+
+    from crawlspark import av
+
+    clips = []
+    for i in range(10):
+        cid = f"clip{i:03d}"
+        sr = 8000 if i % 2 == 0 else 16000
+        x = av.synth_tone(cid, seconds=0.25 + 0.05 * (i % 4), sample_rate=sr)
+        if i % 5 == 4:  # stereo flavor: inverted second channel
+            x = np.stack([x, -x], axis=1)
+        clips.append((cid, av.encode_wav(x, sr)))
+    clips.append(("corrupt00", b"definitely not RIFF"))
+    return clips
+
+
+def _av_video_clips():
+    """Deterministic VPPM fixtures (drifting-block clips) + one corrupt."""
+    from crawlspark import av
+
+    clips = [
+        (f"vid{i:03d}", av.synth_video(f"vid{i:03d}", n_frames=8 + i, size=8))
+        for i in range(6)
+    ]
+    clips.append(("vidbad00", b"VPPMgarbage"))
+    return clips
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1677,6 +1730,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens,
                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
         FROM c
+    """
+
+    # audio/video: VALUES twins decoded driver-side from the SAME bytes with
+    # the SAME numpy math (the image-oracle pattern) — pins the executor
+    # decode path value-for-value, including the corrupt-clip handling
+    from crawlspark import av as _av
+
+    _audio_rows = []
+    for _cid, _data in _av_audio_clips():
+        try:
+            _f = _av.audio_feature_row(_data)
+            _audio_rows.append(
+                f"('{_cid}', {_f['sr']}, {_f['n_channels']}, {_f['duration_s']!r}, "
+                f"{_f['rms']!r}, {_f['zcr']!r}, {_f['peak']!r}, TRUE)"
+            )
+        except ValueError:
+            _audio_rows.append(f"('{_cid}', NULL, NULL, NULL, NULL, NULL, NULL, FALSE)")
+    o["audio_decode_features"] = f"""
+        SELECT clip_id, CAST(sr AS INT) AS sr, CAST(n_channels AS INT) AS n_channels,
+               CAST(duration_s AS DOUBLE) AS duration_s, CAST(rms AS DOUBLE) AS rms,
+               CAST(zcr AS DOUBLE) AS zcr, CAST(peak AS DOUBLE) AS peak, decode_ok
+        FROM (VALUES {",".join(_audio_rows)})
+          AS t(clip_id, sr, n_channels, duration_s, rms, zcr, peak, decode_ok)
+    """
+
+    _video_rows = []
+    for _cid, _data in _av_video_clips():
+        try:
+            for _r in _av.video_frame_rows(_cid, _data, every_n=3):
+                _video_rows.append(
+                    f"('{_r['clip_id']}', {_r['frame_no']}, {_r['fh']}, {_r['fw']}, "
+                    f"{_r['lum_q']}, '{_r['frame_md5']}')"
+                )
+        except ValueError:
+            pass  # undecodable clips are dropped by the operator too
+    o["video_frame_stats"] = f"""
+        SELECT clip_id, CAST(frame_no AS INT) AS frame_no, CAST(fh AS INT) AS fh,
+               CAST(fw AS INT) AS fw, CAST(lum_q AS BIGINT) AS lum_q, frame_md5
+        FROM (VALUES {",".join(_video_rows)})
+          AS t(clip_id, frame_no, fh, fw, lum_q, frame_md5)
     """
 
     o["unigram_surprisal"] = f"""

@@ -1,9 +1,10 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Images are REAL here (numpy codecs from crawlspark.image — no Pillow needed);
-audio/video decode is stubbed behind NotImplementedError with the Spark-side
-plumbing (schema, batching, partitioning) fully in place, per the sandbox
-constraint that no media libraries ship in the image.
+Images are REAL (numpy codecs from crawlspark.image — no Pillow needed), and
+as of round 3 audio and video are too: PCM16 WAV is pure RIFF struct parsing
+and the VPPM frame container reuses the PPM codec (crawlspark.av), so both
+decode paths run end-to-end in this sandbox with zero codec libraries.
+Compressed formats (MP3/H.264) would plug into the same av.* seams.
 
 Batch-shape notes for 100 TB: binary rows are big → mapInPandas (iterator of
 Arrow batches) with a small maxRecordsPerBatch, and payload columns are joined
@@ -80,39 +81,69 @@ def image_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, THUMB_SCHEMA)
 
 
-AUDIO_FEATURES_SCHEMA = "clip_id string, duration_s double, rms double, decode_ok boolean"
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, sr int, n_channels int, duration_s double, rms double, "
+    "zcr double, peak double, decode_ok boolean"
+)
 
 
 def audio_features(clips: DataFrame) -> DataFrame:
-    """Audio decode is STUBBED (no codec libs in this image): the Spark-side
-    plumbing (schema, batching) is real; the decode raises so a misconfigured
-    pipeline fails loudly instead of producing silent garbage."""
+    """REAL audio decode (round 3 — was a NotImplementedError stub): PCM16
+    WAV parsed by crawlspark.av (RIFF chunk walk + numpy int16 buffer, no
+    codec library needed), then duration/RMS/zero-crossing-rate/peak per
+    clip. Corrupt or non-PCM16 bytes → decode_ok=False row, never a task
+    crash (M-5 panic-recovery semantics). Real compressed formats (MP3 …)
+    would plug their decoder into av.audio_feature_row; everything else —
+    batch shape, schema, oracle twin — is format-agnostic."""
+    from crawlspark import av
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "audio decode requires a codec library not present in this "
-                "environment; wire a decoder into datapipe.multimodal.audio_features"
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    f = av.audio_feature_row(raw)
+                    rows.append(
+                        (cid, f["sr"], f["n_channels"], f["duration_s"],
+                         f["rms"], f["zcr"], f["peak"], True)
+                    )
+                except Exception:
+                    rows.append((cid, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "sr", "n_channels", "duration_s", "rms",
+                         "zcr", "peak", "decode_ok"],
             )
-        yield  # pragma: no cover — keeps this a generator
 
     return clips.select("clip_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
-def video_frame_sample(clips: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling is STUBBED (same rationale as audio)."""
+VIDEO_FRAMES_SCHEMA = (
+    "clip_id string, frame_no int, fh int, fw int, lum_q long, frame_md5 string"
+)
+
+
+def video_frame_sample(clips: DataFrame, every_n: int = 3) -> DataFrame:
+    """REAL frame sampling (round 3 — was a stub): VPPM containers
+    (crawlspark.av — the MJPEG shape with PPM frames) are decoded per clip
+    and every n-th frame yields dims + quantized mean luminance + a payload
+    md5. Undecodable clips are dropped (their absence is the signal;
+    audio_features shows the flag-column alternative)."""
+    from crawlspark import av
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decode requires a codec library not present in this "
-                "environment; wire a decoder into datapipe.multimodal.video_frame_sample"
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    rows.extend(av.video_frame_rows(cid, raw, every_n))
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "frame_no", "fh", "fw", "lum_q", "frame_md5"]
             )
-        yield  # pragma: no cover
 
-    return clips.select("clip_id", "bytes").mapInPandas(
-        run, "clip_id string, frame_no int, frame binary"
-    )
+    return clips.select("clip_id", "bytes").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
 
 
 N_PHASH_BANDS = 8  # 64-bit hash → 8 bands of 8 bits
