@@ -28,16 +28,14 @@ HEADLINE = [
     "topk_suppliers_per_nation",
     "dedup_exact",
     "minhash_lsh_candidates",
-    "simhash_16bit",
     "ngram_jaccard_pairs",
     "simhash_band_pairs",
     "neardup_components",
     "repetition_quality",
-    "cosine_topk_bruteforce",
+    "ivf_topk_probe",
     "pq_adc_topk",
     "embedding_neardup",
-    "token_count",
-    "lang_id_heuristic",
+    "text_features",
     "pii_scrub",
     "unigram_surprisal",
     "span_dedup",

@@ -13,6 +13,8 @@ At 100 TB none of these materialize a doc×doc cross product.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -363,14 +365,77 @@ def neardup_components(
     )
 
 
+def embedding_neardup_bucketed(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above `threshold` — the bucketed scale
+    path (round 4; the contract query binds HERE, replacing the all-pairs
+    crossJoin of embedding_neardup_pairs, which survives as the test-only
+    recall oracle).
+
+    Plan: each vector gets an n_bits sign-bit LSH signature (matmul kernel,
+    similarity.lsh_signature_np); the A side explodes to its home bucket plus
+    the n_bits 1-bit-adjacent probe buckets, the B side stays at home, and the
+    equi-join on bucket bounds candidates to near-collision pairs — shuffle is
+    O(corpus · (n_bits+1)), never O(corpus²), and no CartesianProduct /
+    BroadcastNestedLoopJoin appears in the plan (pinned by
+    tests/test_plan_shapes.py). Exact cosine inside candidates is one numpy
+    einsum per Arrow batch, not interpreted HOF lambdas; the threshold
+    compares the 6-dp-ROUNDED cosine so both engines agree at the boundary.
+    A probe set {home, home^1<<i} is pairwise distinct, so each qualifying
+    pair is produced exactly once — no dedup pass needed. DuckDB twin:
+    __spark_entry__.oracle_sql()['embedding_neardup'].
+    """
+    from crawlspark.datapipe.similarity import lsh_signature_np
+
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature_np(n_bits, dim)(F.col(vec_col)).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+            for i in range(n_bits)
+        ],
+    )
+    a = sig.select(
+        F.col("id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = sig.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in va.to_numpy()])
+        y = np.stack([np.asarray(v, dtype=np.float64) for v in vb.to_numpy()])
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        out = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+        return pd.Series(np.round(out, 6))
+
+    return (
+        cand.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above `threshold`.
-
-    Scale path: bucket by a cheap LSH sign-bit key first so the self-join is
-    per-bucket (see similarity.lsh_bucket); this exact variant is the oracle-
-    checkable baseline over modest partitions.
+    """Embedding-cosine near-dup pairs above `threshold` — the ALL-PAIRS
+    oracle baseline (test-only since round 4: the contract query binds the
+    bucketed plan, embedding_neardup_bucketed; this crossJoin exists to
+    measure that plan's recall on small worlds, never to run at scale).
     """
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("n"))

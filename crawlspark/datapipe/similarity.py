@@ -52,11 +52,21 @@ def cosine_topk(
     numpy matrix — queries are the small side of an ANN search by contract
     (for query sets too big to broadcast, use ivf_topk / lsh_bucket_neighbors:
     same answer shape, bucketed join instead of a dense matmul).
+
+    Zero-norm convention (round-3 advice): cosine is undefined for a zero
+    vector, and NaN ordering DIFFERS between numpy lexsort (NaN last) and
+    Spark's F.desc (NaN first) — so zero-norm rows are masked out explicitly
+    on BOTH sides: zero-norm corpus vectors are never candidates, zero-norm
+    queries return no rows. The retired-contract DuckDB twin pins the same
+    rule (list_dot_product(e, e) > 0 guards).
     """
     spark = corpus.sparkSession
     qid_t = dict(queries.dtypes)[id_col]
     nid_t = dict(corpus.dtypes)[id_col]
     qrows = queries.select(id_col, vec_col).collect()
+    qrows = [
+        r for r in qrows if np.linalg.norm(np.asarray(r[1], dtype=np.float64)) > 0
+    ]
     if not qrows:
         return spark.createDataFrame(
             [], f"query_id {qid_t}, nbr_id {nid_t}, cosine double, rk int"
@@ -77,12 +87,13 @@ def cosine_topk(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
             )
             cnorm = np.linalg.norm(cmat, axis=1)
-            sims = (cmat @ b_q.T) / np.outer(cnorm, b_qn)  # B × |Q|
+            den = np.outer(cnorm, b_qn)
+            sims = np.divide(cmat @ b_q.T, den, out=np.zeros((len(cmat), len(b_qn))), where=den > 0)  # B × |Q|
             nbr = pdf[id_col].to_numpy()
             parts = []
             for j, qid in enumerate(b_qids):
                 col = sims[:, j]
-                mask = nbr != qid  # query ≠ neighbor
+                mask = (nbr != qid) & (cnorm > 0)  # query ≠ neighbor, no zero-norm candidates
                 cand_idx = np.flatnonzero(mask)
                 if cand_idx.size == 0:
                     continue
@@ -398,6 +409,67 @@ def _ivf_topk_np(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 4,
+    iters: int = 1,
+) -> "np.ndarray":
+    """Sampled k-means codebook for IVF/PQ — round 4, replacing the
+    first-n-rows-by-id convention whose cells skew badly on an id-correlated
+    corpus (round-3 verdict #5).
+
+    Fully deterministic and mirrored step-for-step by the DuckDB twins
+    (no RNG, no collect-order dependence):
+
+      1. SAMPLE: rows where hash60(md5(str(id))) % sample_mod == 0 — a
+         uniform pseudo-random slice reproducible in any engine. Training on
+         a bounded sample is the standard ANN-codebook protocol (FAISS
+         train); at 10^10 vectors raise sample_mod so the sample stays
+         driver-sized — the codebook itself is only K × D floats.
+      2. INIT: the k sample vectors with the smallest md5(str(id)) hex —
+         a hash-random draw, which is what kills the id-correlation skew.
+         (Deliberately NOT k-means++: its sequential D²-weighted sampling
+         has no declarative twin; hash-random init + Lloyd reaches the same
+         balance goal, asserted by tests/test_pq.py's cell-balance pin.)
+      3. LLOYD (iters×): assign every sample vector to the argmin of the
+         9-dp-ROUNDED squared L2 (ties → lowest centroid index), then move
+         each centroid to the 6-dp-ROUNDED elementwise mean of its cell;
+         an empty cell keeps its previous centroid. The rounding at both
+         steps is what lets DuckDB's avg() and numpy's mean() agree.
+
+    Returns a k × D float64 matrix; row index == cell/centroid id (cidx).
+    """
+    import hashlib
+
+    sample_key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        corpus.filter(F.pmod(sample_key, F.lit(sample_mod)) == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if len(x) < k:
+        raise ValueError(f"sample of {len(x)} rows cannot seed {k} centroids")
+    cents = x[:k].copy()
+    for _ in range(iters):
+        # N × K distances, one centroid at a time (no N×K×D intermediate)
+        d2 = np.stack(
+            [np.round(((x - cents[c]) ** 2).sum(axis=1), 9) for c in range(k)], axis=1
+        )
+        asg = d2.argmin(axis=1)  # first min → lowest cidx (oracle tie rule)
+        for c in range(k):
+            members = asg == c
+            if members.any():
+                cents[c] = np.round(x[members].mean(axis=0), 6)
+    return cents
 
 
 def _pq_codebook(corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str):

@@ -106,10 +106,12 @@ def tfidf_top_terms(
     tf = term count within the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
     sklearn-style); ties break by term asc. Plan: one explode → (doc, term)
     count with map-side partial agg, the term→df table joined back on `term`
-    (tf and dfreq are co-partitioned on term, so the join reuses the
-    aggregation's shuffle; NO broadcast hint — a web-scale corpus has 10^8+
-    distinct terms, gigabytes if forced to every executor, and AQE will
-    still broadcast when the frame actually fits), and a per-doc window
+    (tf is hash-partitioned by (doc_id, term) after its groupBy, so the join
+    DOES re-exchange tf on term — the round-3 win here was dropping the
+    forced broadcast and the eager count, not shuffle reuse; NO broadcast
+    hint because a web-scale corpus has 10^8+ distinct terms, gigabytes if
+    forced to every executor, and AQE will still broadcast dfreq when it
+    actually fits), and a per-doc window
     whose partitions are bounded by the doc's own vocabulary — no global
     sort, no skew risk beyond a single doc's term count.
 

@@ -32,14 +32,21 @@ def admit_with_budget(budget_per_host: int):
 
     Vectorized: budget admission after the sort is a prefix count —
     admitted[i] ⇔ used + i < budget — so each Arrow batch is one numpy
-    expression, never a per-row Python loop (BASELINE.json input_hint)."""
+    expression, never a per-row Python loop (BASELINE.json input_hint).
+
+    The chunk iterator is CONCATENATED before sorting: Arrow splits a host
+    group larger than maxRecordsPerBatch into several pdfs, and sorting each
+    chunk independently would admit out of global (priority, seq) order
+    (round-3 advice). The concat bounds memory at one host's micro-batch —
+    the same per-host-group bound applyInPandasWithState already implies."""
     import numpy as np
 
     def fn(key, pdfs, state: GroupState):
         (host,) = key
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["priority", "seq"])
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["priority", "seq"])
             admitted = used + np.arange(len(pdf)) < budget_per_host
             used += int(admitted.sum())
             yield pd.DataFrame(
@@ -81,9 +88,13 @@ def politeness_stream_windowed(
     stream-stream re-join.
 
     Feed shape: micro-batch == window (e.g. one file per wave under
-    maxFilesPerTrigger=1 + availableNow). Within an Arrow batch the sort is
-    (window, priority, seq); admission inside each window is a vectorized
-    prefix count, the same zero-loop shape as admit_with_budget."""
+    maxFilesPerTrigger=1 + availableNow). The chunk iterator is CONCATENATED
+    before the (window, priority, seq) sort — Arrow splits a host group
+    bigger than maxRecordsPerBatch into several pdfs, and a per-chunk sort
+    would admit out of global order (round-3 advice); the concat bounds
+    memory at one host's micro-batch, the bound the stateful group already
+    implies. Admission inside each window is a vectorized prefix count, the
+    same zero-loop shape as admit_with_budget."""
     import numpy as np
 
     out_schema = (
@@ -93,8 +104,13 @@ def politeness_stream_windowed(
 
     def fn(key, pdfs, state: GroupState):
         last_w, used = state.get if state.exists else (-1, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values([window_col, "priority", "seq"]).reset_index(drop=True)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values([window_col, "priority", "seq"])
+                .reset_index(drop=True)
+            )
             admitted = np.zeros(len(pdf), dtype=bool)
             i = 0
             for w, grp in pdf.groupby(window_col, sort=True):

@@ -45,19 +45,21 @@ def test_revenue_join_is_broadcast(spark, queries):
     assert "SortMergeJoin" not in p
 
 
-def test_semi_anti_joins_stay_semi_anti(spark, queries):
-    p = plan_of(queries["semi_anti_join_orders"](spark, SF))
-    assert "LeftSemi" in p
-    assert "LeftAnti" in p
-
-
 def test_jvm_only_queries_have_no_python_eval(spark, queries):
     # the text/dedup hot paths are pure Catalyst — a Python UDF sneaking in
     # would show up as BatchEvalPython/ArrowEvalPython
-    for name in ["token_count", "simhash_band_pairs", "ngram_jaccard_pairs",
+    for name in ["text_features", "simhash_band_pairs", "ngram_jaccard_pairs",
                  "repetition_quality", "dedup_exact", "pii_scrub"]:
         p = plan_of(queries[name](spark, SF))
         assert "EvalPython" not in p, f"{name} plan contains Python eval"
+
+
+def test_embedding_neardup_is_bucketed_not_cartesian(spark, queries):
+    # round 4: the contract near-dup binds the LSH-bucketed plan — an
+    # all-pairs regression would reappear as a cartesian/nested-loop join
+    p = plan_of(queries["embedding_neardup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_fifo_rank_is_not_single_partition_window(spark, queries):
