@@ -536,9 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup"] = embedding_neardup
 
     def ivf_topk_probe(spark, sf):
-        # IVF-flat ANN: deterministic centroids, argmax cell assignment,
+        # IVF-flat ANN: sampled-k-means centroids (round 4 — deterministic,
+        # mirrored step-for-step in the DuckDB twin), argmax cell assignment,
         # 2-probe search, exact top-k inside probed cells — the O(corpus)
-        # scale path for similarity search (swap trained centroids in, same plan)
+        # scale path for similarity search
         from crawlspark.datapipe.similarity import ivf_topk
 
         e = _t(spark, sf, "embeddings").withColumn(
@@ -1243,26 +1244,61 @@ def oracle_sql() -> dict[str, str]:
                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
     """
 
+    # sampled-k-means centroid twin (round 4): the EXACT derivation of
+    # crawlspark.datapipe.similarity.kmeans_codebook — hash-sampled rows
+    # (hash60(md5(id)) % 4 == 0), init = k smallest md5(id) hex, ONE Lloyd
+    # step with the squared distance rounded to 9 dp before the argmin
+    # (ties -> lowest cidx) and each new centroid coordinate rounded to 6 dp
+    # (what lets DuckDB avg() and numpy mean() agree); empty cells keep init
+    def _kmeans_cents_sql(k: int, dim: int = 64, sample_mod: int = 4) -> str:
+        hkey = _hash60_sql("CAST(vec_id AS VARCHAR)")
+        d2 = (
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            "j -> pow(s.e[CAST(j AS INT)] - i.ce[CAST(j AS INT)], 2))), 9)"
+        )
+        return f"""
+        samp AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE {hkey} % {sample_mod} = 0),
+        init AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx,
+                 e AS ce
+          FROM samp ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+        kasg AS (
+          SELECT vec_id, cidx FROM (
+            SELECT s.vec_id, i.cidx,
+                   row_number() OVER (PARTITION BY s.vec_id ORDER BY {d2} ASC, i.cidx ASC) AS rn
+            FROM samp s, init i) WHERE rn = 1),
+        kdim AS (
+          SELECT a.cidx, dims.j, round(avg(s.e[CAST(dims.j AS INT)]), 6) AS m
+          FROM kasg a JOIN samp s USING (vec_id), (SELECT unnest(range(1, {dim + 1})) AS j) dims
+          GROUP BY a.cidx, dims.j),
+        knew AS (SELECT cidx, list(m ORDER BY j) AS ce FROM kdim GROUP BY cidx),
+        cents AS (
+          SELECT i.cidx, coalesce(n.ce, i.ce) AS ce
+          FROM init i LEFT JOIN knew n USING (cidx))"""
+
     _COSC = (
         "round(list_dot_product(v.e, c.cv) / "
         "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cv, c.cv))), 9)"
     )
     o["ivf_topk_probe"] = f"""
-        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        WITH {_kmeans_cents_sql(8).strip()},
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                    FROM embeddings),
-        cents AS (SELECT vec_id AS cent_id, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+        cc AS (SELECT cidx AS cent_id, ce AS cv FROM cents),
         assign AS (
           SELECT nbr_id, vv, cell FROM (
             SELECT v.vec_id AS nbr_id, v.e AS vv, c.cent_id AS cell,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_COSC} DESC, c.cent_id ASC) AS rn
-            FROM v, cents c) WHERE rn = 1),
+            FROM v, cc c) WHERE rn = 1),
         probes AS (
           SELECT query_id, qv, cell FROM (
             SELECT v.vec_id AS query_id, v.e AS qv, c.cent_id AS cell,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_COSC} DESC, c.cent_id ASC) AS rn
-            FROM v, cents c WHERE v.vec_id < 8) WHERE rn <= 2),
+            FROM v, cc c WHERE v.vec_id < 8) WHERE rn <= 2),
         scored AS (
           SELECT p.query_id, a.nbr_id,
                  list_dot_product(p.qv, a.vv)
@@ -1300,14 +1336,12 @@ def oracle_sql() -> dict[str, str]:
         FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     """
 
-    # PQ: identical deterministic codebook (16 lowest-id vectors, subspace m
-    # = dims [8m, 8m+8)), identical 9-dp rounding of every subspace distance
-    # BEFORE argmin/summation so float order can't flip a code or a rank
-    _PQ_CENTS = """
-        cents AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    # PQ: identical sampled-k-means codebook (round 4 — was the 16 lowest-id
+    # vectors; subspace m = dims [8m, 8m+8) of the shared full-vector
+    # centroids), identical 9-dp rounding of every subspace distance BEFORE
+    # argmin/summation so float order can't flip a code or a rank
+    _PQ_CENTS = f"""
+        {_kmeans_cents_sql(16).strip()},
         v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
               FROM embeddings),
         subs AS (SELECT unnest(range(0, 8)) AS m),

@@ -194,8 +194,8 @@ def ivf_topk(
     `n_cells` cells by nearest centroid, probe the query's `n_probe` nearest
     cells, exact top-k inside the probed candidates.
 
-    Centroids are the n_cells lowest-id corpus vectors (deterministic,
-    k-means-free — swapping in trained centroids changes ONLY the `cents`
+    Centroids are sampled-k-means trained (kmeans_codebook; deterministic —
+    swapping in differently-trained centroids changes ONLY the `cents`
     frame; the plan shape is the canonical IVF one: a broadcast argmax
     assignment, a cell-key equi-join, and a per-query window over the probed
     subset — O(corpus) shuffle instead of queries × corpus).
@@ -206,13 +206,19 @@ def ivf_topk(
     interpreted higher-order-function ops per row. Identical 9-dp
     assignment rounding and tie-breaks as the HOF path and the DuckDB
     oracle, so the answer is unchanged. impl="hof" keeps pure Catalyst.
+
+    Centroids (round 4): sampled-k-means (kmeans_codebook — hash-random
+    init + one Lloyd step), replacing the n_cells lowest-id vectors whose
+    cells skew on an id-correlated corpus; cell ids are centroid indices
+    0..n_cells-1.
     """
     if impl == "numpy":
         return _ivf_topk_np(corpus, queries, k, n_cells, n_probe, id_col, vec_col)
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    spark = corpus.sparkSession
+    cmat0 = kmeans_codebook(corpus, n_cells, id_col, vec_col)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cmat0)],
+        "cent_id int, cv array<double>",
     )
     cos_cent = _dot(F.col("v"), F.col("cv")) / (F.col("vn") * _norm(F.col("cv")))
 
@@ -338,11 +344,11 @@ def _ivf_topk_np(
 ) -> DataFrame:
     """Numpy-kernel IVF (see ivf_topk): broadcast centroid matrix, matmul
     cell assignment, driver-side probe selection (queries are the small
-    side), row-wise scoring kernel after the cell equi-join."""
+    side), row-wise scoring kernel after the cell equi-join. Centroids are
+    sampled-k-means (round 4); cells are centroid indices 0..n_cells-1."""
     spark = corpus.sparkSession
-    crows = corpus.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
-    cent_ids = np.array([r[0] for r in crows])
-    cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
+    cmat = kmeans_codebook(corpus, n_cells, id_col, vec_col)
+    cent_ids = np.arange(n_cells, dtype=np.int64)
     cnorm = np.linalg.norm(cmat, axis=1)
     nid_t = dict(corpus.dtypes)[id_col]
     qid_t = dict(queries.dtypes)[id_col]
@@ -365,7 +371,7 @@ def _ivf_topk_np(
             )
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(
-        _assign, f"nbr_id {nid_t}, v array<double>, cell {nid_t}"
+        _assign, f"nbr_id {nid_t}, v array<double>, cell long"
     )
 
     # probe selection driver-side: queries are the collected small side
@@ -383,7 +389,7 @@ def _ivf_topk_np(
         for ci in order:
             probe_rows.append((r[0], list(map(float, q)), cent_ids[ci].item()))
     probes = spark.createDataFrame(
-        probe_rows, f"query_id {qid_t}, qv array<double>, cell {nid_t}"
+        probe_rows, f"query_id {qid_t}, qv array<double>, cell long"
     )
 
     @F.pandas_udf("double")
@@ -454,10 +460,15 @@ def kmeans_codebook(
         .select(id_col, vec_col)
         .collect()
     )
+    if len(rows) < k and sample_mod > 1:
+        # tiny-corpus fallback: train on everything. The contract-scale
+        # embeddings table (≥500 rows, K ≤ 16) never takes this branch, so
+        # the DuckDB twin pins sample_mod=4 unconditionally.
+        rows = corpus.select(id_col, vec_col).collect()
     rows.sort(key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
     x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     if len(x) < k:
-        raise ValueError(f"sample of {len(x)} rows cannot seed {k} centroids")
+        raise ValueError(f"corpus of {len(x)} rows cannot seed {k} centroids")
     cents = x[:k].copy()
     for _ in range(iters):
         # N × K distances, one centroid at a time (no N×K×D intermediate)
@@ -473,12 +484,12 @@ def kmeans_codebook(
 
 
 def _pq_codebook(corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str):
-    """Deterministic PQ codebook: the n_centroids lowest-id corpus vectors
-    (the same k-means-free convention as ivf_topk — trained centroids swap
-    in without changing any plan). Returns a K × D float64 matrix; subspace
-    m uses columns [m·d, (m+1)·d)."""
-    rows = corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    """PQ codebook = sampled-k-means centroids (kmeans_codebook; round 4 —
+    previously the n_centroids lowest-id vectors, which skew on an
+    id-correlated corpus). Returns a K × D float64 matrix; subspace m uses
+    columns [m·d, (m+1)·d) of the full-vector centroids — one shared
+    k-means sliced per subspace, the convention the DuckDB twin reproduces."""
+    return kmeans_codebook(corpus, n_centroids, id_col, vec_col)
 
 
 def _pq_dist2(x_sub: "np.ndarray", c_sub: "np.ndarray") -> "np.ndarray":

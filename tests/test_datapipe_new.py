@@ -354,3 +354,42 @@ def test_curation_pipeline_composes_and_stays_deterministic(spark):
     again = {r["doc_id"]: r["bin"]
              for r in curation_pipeline(docs.repartition(5), budget=10, sample_pct=100).collect()}
     assert again == {k: v["bin"] for k, v in out.items()}
+
+
+def test_embedding_neardup_bucketed_subset_and_planted_recall(spark):
+    # round 4: the contract near-dup binds the LSH-bucketed plan. Two pins:
+    # (1) it NEVER reports a pair the exact all-pairs baseline wouldn't
+    # (exact cosine inside candidates → zero false positives), and
+    # (2) on PLANTED near-duplicates (cosine ≈ 1, the regime near-dup dedup
+    # exists for) the home ∪ 1-bit-probe candidate set finds every pair —
+    # sign-LSH collision probability per bit is 1 - θ/π ≈ 1 at θ ≈ 0.
+    from crawlspark.datapipe.dedup import (
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+
+    rng_free = [
+        [float((i * 13 + j * 7) % 17) - 8.0 for j in range(16)] for i in range(30)
+    ]
+    rows = [(i, v) for i, v in enumerate(rng_free)]
+    # plant 10 near-dups: id 100+i is id i with one coordinate nudged by 1e-3
+    for i in range(10):
+        v = list(rng_free[i])
+        v[3] += 1e-3
+        rows.append((100 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    allp = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(df, threshold=0.99).collect()
+    }
+    buck = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_bucketed(
+            df, threshold=0.99, n_bits=6, dim=16
+        ).collect()
+    }
+    assert buck <= allp, "bucketed plan reported a false positive"
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= allp  # sanity: the baseline sees every planted pair
+    assert planted <= buck, f"missed planted near-dups: {sorted(planted - buck)}"

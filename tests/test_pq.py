@@ -22,20 +22,48 @@ def test_codes_shape_and_range(spark):
         assert r.recon_err >= 0.0
 
 
-def test_centroid_vectors_encode_exactly(spark):
-    # the codebook IS the 4 lowest-id vectors — each must encode to itself
-    # per subspace with zero reconstruction error
+def test_encode_matches_numpy_twin(spark):
+    # round 4: the codebook is sampled k-means, so pin the whole encode
+    # against an independent driver-side numpy replication — same codebook,
+    # same per-subspace 9-dp rounding, same argmin tie rule
+    import numpy as np
+
+    from crawlspark.datapipe.similarity import kmeans_codebook
+
     df = _emb(spark)
-    out = {r.vec_id: r for r in pq_encode(df, n_centroids=4, n_sub=4).collect()}
-    for vid in range(4):
-        assert out[vid].recon_err == 0.0
+    cb = kmeans_codebook(df, 4)
+    got = {r.vec_id: r for r in pq_encode(df, n_centroids=4, n_sub=4).collect()}
+    mat = {r.vec_id: np.asarray(r.embedding) for r in df.collect()}
+    for vid, x in mat.items():
+        codes, err2 = [], 0.0
+        for m in range(4):
+            xs, cs = x[m * 4:(m + 1) * 4], cb[:, m * 4:(m + 1) * 4]
+            d2 = np.round(((xs - cs) ** 2).sum(axis=1), 9)
+            c = int(d2.argmin())
+            codes.append(c)
+            err2 += ((xs - cs[c]) ** 2).sum()
+        assert list(got[vid].codes) == codes, vid
+        assert abs(got[vid].recon_err - round(float(np.sqrt(err2)), 6)) < 1e-9
 
 
-def test_more_centroids_never_hurt_reconstruction(spark):
-    df = _emb(spark)
-    e4 = {r.vec_id: r.recon_err for r in pq_encode(df, n_centroids=4, n_sub=4).collect()}
-    e16 = {r.vec_id: r.recon_err for r in pq_encode(df, n_centroids=16, n_sub=4).collect()}
-    assert all(e16[v] <= e4[v] + 1e-9 for v in e4)
+def test_kmeans_cells_are_balanced(spark):
+    # the round-3 verdict's done-criterion for the codebook change: on the
+    # real (id-correlated) embeddings table the k-means cells must not skew —
+    # max cell ≤ c × mean cell. The old first-16-rows-by-id convention is the
+    # skew this guards against.
+    import numpy as np
+
+    from crawlspark.datapipe.similarity import kmeans_codebook
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    cb = kmeans_codebook(emb, 16)
+    assert cb.shape == (16, 64)
+    mat = np.stack([np.asarray(r.embedding) for r in emb.collect()])
+    d2 = np.stack([((mat - cb[c]) ** 2).sum(axis=1) for c in range(16)], axis=1)
+    counts = np.bincount(d2.argmin(axis=1), minlength=16)
+    assert counts.max() <= 3.0 * counts.mean(), counts.tolist()
 
 
 def test_adc_topk_exact_when_uncompressed(spark):
