@@ -618,6 +618,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_bsp_end_to_end"] = crawl_bsp_end_to_end
 
+    def crawl_bsp_mixed(spark, sf):
+        # round 4: the BSP loop over a MIXED per-job config world — retry
+        # policies RetryJob/DiscardJob/RefreshIP, per-job retry caps, and
+        # per-job timeouts that bite against redirect-accumulated latency;
+        # the recursive-CTE oracle carries the config through its state rows
+        from crawlspark import synth
+        from crawlspark.engine import CrawlConfig, CrawlEngine
+
+        world = synth.make_mixed_config_world(n_hosts=5, total_pages=80)
+        eng = CrawlEngine(
+            spark,
+            pages=synth.pages_df(spark, world),
+            robots=synth.robots_df(spark, world),
+            budgets=synth.politeness_df(spark, world),
+            images=None,
+            config=CrawlConfig(validate_images=False, wave_budget=25, use_bloom=False),
+        )
+        run = eng.run(synth.seeds_df(spark, world))
+        return run.order
+
+    q["crawl_bsp_mixed"] = crawl_bsp_mixed
+
     def image_decode_validate(spark, sf):
         # numpy-codec decode + feature extraction over the payload table;
         # oracled against a VALUES twin decoded driver-side from the same bytes
@@ -1759,6 +1781,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["crawl_bsp_end_to_end"] = bsp_order_oracle_sql(
         _synth.make_world(n_hosts=4, total_pages=60), wave_budget=30
+    )
+
+    # round 4: the same recursive-CTE twin over a MIXED per-job config world
+    # (RetryJob/DiscardJob/RefreshIP policies, per-job retry caps, per-job
+    # timeouts vs redirect-accumulated latency) — the state rows carry
+    # retry_policy/max_retries/timeout_us through the recursion
+    o["crawl_bsp_mixed"] = bsp_order_oracle_sql(
+        _synth.make_mixed_config_world(n_hosts=5, total_pages=80), wave_budget=25
     )
 
     return o

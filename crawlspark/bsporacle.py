@@ -27,11 +27,16 @@ private-host gate → seq assignment by (parent_rank, link_pos). Termination:
 the control row is produced only while pending rows exist, and every branch
 joins it — an empty frontier ends the recursion (the inactivity-exit analog).
 
-Scope: the generated SQL hard-codes the *uniform* job config of the world it
-is built for (all jobs RetryJob policy, max_retries=2, 2s delay cap, no
-timeouts, no init jobs, default single job type) and a query-free URL space —
-exactly the `crawl_bsp_end_to_end` world. Worlds with per-job config would
-need those columns carried through the state rows; semantics are unchanged.
+Scope (round 4 — per-job config): the state rows carry each job's
+retry_policy / max_retries / timeout_us, inherited by children exactly like
+engine._expand_children, so mixed-config worlds (RetryJob + DiscardJob +
+RefreshIP policies, per-job retry caps, per-job timeouts against the
+redirect-accumulated page latency) get the same hard oracle as the uniform
+world (`crawl_bsp_mixed` contract query). Still hard-coded: a uniform
+max_retry_delay_us (the unrolled backoff CASE folds the cap), default 2xx
+accept ranges, no init jobs, no StopScraping policy (stop truncates the
+whole run mid-recursion; it stays pinned by the engine stop golden), a
+query-free URL space, and the default single job type.
 
 Reference parity chain: this SQL ⟷ the pure-Python scheduler
 (crawlspark/oracle.py, itself pinned to scrapemate.go/memory.go semantics)
@@ -97,25 +102,29 @@ def bsp_order_oracle_sql(
     wave_period_us: int = 500_000,
     max_waves: int = C.DEFAULT_MAX_WAVES,
 ) -> str:
-    """The full crawl-order oracle query for a uniform-config world.
+    """The full crawl-order oracle query; per-job retry_policy / max_retries /
+    timeout_us are carried through the recursion (round 4).
 
     Returns SQL producing (wave int, rank bigint, job_id, url_canon,
     is_init boolean) — the engine's CrawlRun.order schema."""
-    # the generated SQL folds the per-job config into constants — assert the
-    # world really is uniform so a drifted fixture fails loudly, not wrongly
+    # the generated SQL still folds SOME config into constants — assert the
+    # world honors the remaining scope so a drifted fixture fails loudly
     for s in world.seeds:
-        assert s["retry_policy"] == C.RETRY_JOB, "oracle assumes RetryJob policy"
-        assert s["max_retries"] == world.seeds[0]["max_retries"]
+        assert s["retry_policy"] in (C.RETRY_JOB, C.DISCARD_JOB, C.REFRESH_IP), (
+            "oracle excludes StopScraping (stop truncates the run mid-wave; "
+            "pinned by the engine stop golden instead)"
+        )
         assert (s["max_retry_delay_us"] or C.DEFAULT_MAX_RETRY_DELAY_US) == \
-            C.DEFAULT_MAX_RETRY_DELAY_US
-        assert not s.get("timeout_us"), "oracle assumes no per-job timeout"
+            C.DEFAULT_MAX_RETRY_DELAY_US, "oracle folds a uniform backoff cap"
+        assert s.get("accept_lo", 200) == 200 and s.get("accept_hi", 299) == 299
         assert not s.get("is_init"), "oracle assumes no init jobs"
         assert not s.get("url_params"), "oracle assumes query-free URLs"
-    eff_max = C.effective_max_retries(world.seeds[0]["max_retries"])
     backoff = _backoff_case_sql("o.retry_count + 1", C.DEFAULT_MAX_RETRY_DELAY_US)
+    eff_max = f"greatest(0, least(o.maxr, {C.MAX_RETRIES_CAP}))"
 
     pages_vals = ",\n      ".join(
-        f"({_q(p.url_canon)}, {p.status}, {p.flaky_attempts}, {_q(p.redirect_to)})"
+        f"({_q(p.url_canon)}, {p.status}, {p.flaky_attempts}, {_q(p.redirect_to)}, "
+        f"{p.latency_us})"
         for p in world.pages.values()
     )
     link_rows = [
@@ -125,7 +134,9 @@ def bsp_order_oracle_sql(
     ]
     links_vals = ",\n      ".join(link_rows) if link_rows else "(NULL, NULL, NULL)"
     seeds_vals = ",\n      ".join(
-        f"({_q(s['job_id'])}, {_q(s['url'])}, {s['priority']}, {s['seed_order']})"
+        f"({_q(s['job_id'])}, {_q(s['url'])}, {s['priority']}, {s['seed_order']}, "
+        f"{s['retry_policy']}, {s['max_retries']}, "
+        f"{s['timeout_us'] if s.get('timeout_us') else 'NULL'})"
         for s in world.seeds
     )
     robots_rows = [
@@ -143,7 +154,9 @@ def bsp_order_oracle_sql(
     krest = "split_part(kcanon, '://', 2)"
 
     # one redirect-resolution hop (fetch.resolve_redirects): targets come
-    # from the ORIGINAL pages table every hop; missing target → 404, no links
+    # from the ORIGINAL pages table every hop; missing target → 404, no
+    # links; latency ACCUMULATES along followed hops (the value the per-job
+    # timeout is checked against, fetch.py:124-138)
     def hop(src: str, out: str) -> str:
         return f"""
     {out} AS (
@@ -154,12 +167,13 @@ def bsp_order_oracle_sql(
              WHEN a.redirect_to IS NOT NULL THEN 0 ELSE a.flaky END AS flaky,
         CASE WHEN a.redirect_to IS NOT NULL AND b.canon IS NOT NULL THEN b.canon
              WHEN a.redirect_to IS NOT NULL THEN NULL ELSE a.link_src END AS link_src,
-        CASE WHEN a.redirect_to IS NOT NULL THEN b.redirect_to ELSE NULL END AS redirect_to
+        CASE WHEN a.redirect_to IS NOT NULL THEN b.redirect_to ELSE NULL END AS redirect_to,
+        a.lat + CASE WHEN a.redirect_to IS NOT NULL THEN coalesce(b.lat, 0) ELSE 0 END AS lat
       FROM {src} a LEFT JOIN raw_pages b ON b.canon = a.redirect_to)"""
 
     return f"""
     WITH RECURSIVE
-    raw_pages(canon, status, flaky, redirect_to) AS (VALUES
+    raw_pages(canon, status, flaky, redirect_to, lat) AS (VALUES
       {pages_vals}),
     raw_links(page_canon, pos, raw) AS (
       SELECT * FROM (VALUES
@@ -169,23 +183,23 @@ def bsp_order_oracle_sql(
       {robots_vals}) AS t(host, prefix) WHERE host IS NOT NULL),
     budgets(host, budget) AS (VALUES
       {budget_vals}),
-    r0 AS (SELECT canon, status, flaky, canon AS link_src, redirect_to FROM raw_pages),
+    r0 AS (SELECT canon, status, flaky, canon AS link_src, redirect_to, lat FROM raw_pages),
     {hop("r0", "r1")},
     {hop("r1", "r2")},
     {hop("r2", "r3")},
     resolved AS (
       SELECT canon,
              CASE WHEN redirect_to IS NOT NULL THEN 508 ELSE status END AS status,
-             flaky, link_src
+             flaky, link_src, lat
       FROM r3),
     -- wave-0 seed admission (engine._admit_seeds): canon → in-list dedup by
     -- first seed_order → robots gate → seq by seed_order rank
-    seeds_raw(job_id, url, priority, seed_order) AS (VALUES
+    seeds_raw(job_id, url, priority, seed_order, pol, maxr, tmo) AS (VALUES
       {seeds_vals}),
     seedc AS (
       SELECT job_id, {scanon} AS canon,
              CASE WHEN priority IN (0, 1, 2) THEN priority ELSE 0 END AS priority,
-             seed_order
+             seed_order, pol, maxr, CAST(tmo AS BIGINT) AS tmo
       FROM seeds_raw),
     seedd AS (
       SELECT *, split_part(split_part(canon, '://', 2), '/', 1) AS host,
@@ -200,13 +214,15 @@ def bsp_order_oracle_sql(
       WHERE NOT (EXISTS (SELECT 1 FROM robots r
                          WHERE r.host = d.host AND starts_with(d.path, r.prefix))
                  OR regexp_matches(d.host, '{_PRIVATE_RE}'))),
-    bsp(kind, wave, job_id, url_canon, host, priority, seq, retry_count, not_before, rank) AS (
+    bsp(kind, wave, job_id, url_canon, host, priority, seq, retry_count, not_before, rank,
+        pol, maxr, tmo) AS (
       SELECT 'p', 0, job_id, canon, host, priority, CAST(seq AS BIGINT),
-             0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+             0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), pol, maxr, tmo
       FROM seed_allowed
-      UNION ALL SELECT 's', 0, NULL, canon, NULL, NULL, NULL, NULL, NULL, NULL FROM seedd
+      UNION ALL SELECT 's', 0, NULL, canon, NULL, NULL, NULL, NULL, NULL, NULL,
+             NULL, NULL, NULL FROM seedd
       UNION ALL SELECT 'c', 0, NULL, NULL, NULL, NULL,
-             (SELECT count(*) FROM seed_allowed), NULL, NULL, NULL
+             (SELECT count(*) FROM seed_allowed), NULL, NULL, NULL, NULL, NULL, NULL
       UNION ALL
       SELECT * FROM (
         WITH prev AS (SELECT * FROM bsp),
@@ -231,23 +247,31 @@ def bsp_order_oracle_sql(
         sel AS (SELECT * FROM ranked WHERE wrank <= {wave_budget}),
         leftover AS (SELECT e.* FROM elig e
                      WHERE NOT EXISTS (SELECT 1 FROM sel s WHERE s.job_id = e.job_id)),
-        -- fetch.fetch_simulate: miss → 404, attempt < flaky → 503
+        -- fetch.fetch_simulate: miss → 404; existing page whose accumulated
+        -- latency exceeds the job's timeout → 599 (checked BEFORE flakiness:
+        -- a timed-out request never observes its response, fetch.py:124-141);
+        -- attempt < flaky → 503
         fetched AS (
           SELECT s.*, CASE WHEN r.canon IS NULL THEN 404
+                           WHEN s.tmo IS NOT NULL AND s.tmo > 0 AND r.lat > s.tmo THEN 599
                            WHEN s.retry_count < r.flaky THEN 503
                            ELSE r.status END AS status,
                  r.link_src
           FROM sel s LEFT JOIN resolved r ON r.canon = s.url_canon),
-        -- fetch.apply_outcomes (uniform RetryJob policy, eff_max = {eff_max})
+        -- fetch.apply_outcomes: per-job policy dispatch (scrapemate.go:422-451)
+        -- DiscardJob({C.DISCARD_JOB}) → failed on first failure; RetryJob/
+        -- RefreshIP retry while retry_count < min(max_retries, {C.MAX_RETRIES_CAP})
         outc AS (
-          SELECT f.*, CASE WHEN f.status BETWEEN 200 AND 299 THEN 'done'
-                           WHEN f.retry_count < {eff_max} THEN 'retry'
+          SELECT o.*, CASE WHEN o.status BETWEEN 200 AND 299 THEN 'done'
+                           WHEN o.pol = {C.DISCARD_JOB} THEN 'failed'
+                           WHEN o.retry_count < {eff_max} THEN 'retry'
                            ELSE 'failed' END AS outcome
-          FROM fetched f),
+          FROM fetched o),
         -- engine._expand_children: links of done parents, doc order
         kids AS (
           SELECT o.job_id AS parent_id, o.wrank AS parent_rank,
-                 o.priority AS pprio, l.pos, {kcanon} AS kcanon
+                 o.priority AS pprio, o.pol AS kpol, o.maxr AS kmaxr, o.tmo AS ktmo,
+                 l.pos, {kcanon} AS kcanon
           FROM outc o JOIN raw_links l ON l.page_canon = o.link_src
           WHERE o.outcome = 'done'),
         kidsh AS (
@@ -271,36 +295,45 @@ def bsp_order_oracle_sql(
         -- ------- next-state emission (every branch joins ctl) -------------
         SELECT 'o' AS kind, c.wave, o.job_id, o.url_canon,
                CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS BIGINT),
-               CAST(NULL AS INT), CAST(NULL AS BIGINT), o.wrank
+               CAST(NULL AS INT), CAST(NULL AS BIGINT), o.wrank,
+               CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT)
         FROM outc o CROSS JOIN ctl c
         UNION ALL
         SELECT 'p', c.wave, f.job_id, f.url_canon, f.host, f.priority, f.seq,
-               f.retry_count, f.not_before, NULL
+               f.retry_count, f.not_before, NULL, f.pol, f.maxr, f.tmo
         FROM fut f CROSS JOIN ctl c
         UNION ALL
         SELECT 'p', c.wave, e.job_id, e.url_canon, e.host, e.priority, e.seq,
-               e.retry_count, e.not_before, NULL
+               e.retry_count, e.not_before, NULL, e.pol, e.maxr, e.tmo
         FROM leftover e CROSS JOIN ctl c
         UNION ALL
+        -- RefreshIP retries re-enter with NO delay (scrapemate.go:450 TODO)
         SELECT 'p', c.wave, o.job_id, o.url_canon, o.host, o.priority, o.seq,
                o.retry_count + 1,
-               CAST(c.wave AS BIGINT) * {wave_period_us} + ({backoff}), NULL
+               CAST(c.wave AS BIGINT) * {wave_period_us}
+                 + (CASE WHEN o.pol = {C.REFRESH_IP} THEN 0 ELSE ({backoff}) END),
+               NULL, o.pol, o.maxr, o.tmo
         FROM outc o CROSS JOIN ctl c WHERE o.outcome = 'retry'
         UNION ALL
+        -- children inherit the parent's retry/timeout config (engine.py:269-270)
         SELECT 'p', c.wave,
                substr(md5(a.parent_id || '|' || CAST(a.pos AS VARCHAR) || '|' || a.kcanon), 1, 16),
                a.kcanon, a.khost, a.pprio, c.seq_base + a.arn - 1, 0,
-               CAST(c.wave AS BIGINT) * {wave_period_us}, NULL
+               CAST(c.wave AS BIGINT) * {wave_period_us}, NULL,
+               a.kpol, a.kmaxr, a.ktmo
         FROM admitted a CROSS JOIN ctl c
         UNION ALL
-        SELECT 's', c.wave, NULL, s.url_canon, NULL, NULL, NULL, NULL, NULL, NULL
+        SELECT 's', c.wave, NULL, s.url_canon, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL
         FROM seen s CROSS JOIN ctl c
         UNION ALL
-        SELECT 's', c.wave, NULL, f.kcanon, NULL, NULL, NULL, NULL, NULL, NULL
+        SELECT 's', c.wave, NULL, f.kcanon, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL
         FROM freshk f CROSS JOIN ctl c
         UNION ALL
         SELECT 'c', c.wave, NULL, NULL, NULL, NULL,
-               c.seq_base + (SELECT count(*) FROM admitted), NULL, NULL, NULL
+               c.seq_base + (SELECT count(*) FROM admitted), NULL, NULL, NULL,
+               NULL, NULL, NULL
         FROM ctl c
       )
     )

@@ -281,6 +281,26 @@ def make_world(
     )
 
 
+def make_mixed_config_world(**kw) -> World:
+    """A make_world variant with deterministic PER-JOB fetch config spread
+    over the seeds (round 4, for the `crawl_bsp_mixed` oracle): retry policy
+    cycles RetryJob / DiscardJob / RefreshIP, per-job retry caps vary 0..3,
+    and two timeout tiers (30 ms / 12 ms) bite against the pages' 1–50 ms
+    deterministic latencies. Children inherit their seed subtree's config
+    (engine._expand_children), so the whole frontier is config-mixed.
+    StopScraping is deliberately absent — the recursive-CTE oracle excludes
+    it (bsporacle.py scope note); stop stays pinned by the engine golden."""
+    world = make_world(**kw)
+    policies = (C.RETRY_JOB, C.DISCARD_JOB, C.REFRESH_IP, C.RETRY_JOB)
+    retries = (2, 0, 3, 1)
+    timeouts = (None, None, 30_000, 12_000)
+    for k, s in enumerate(world.seeds):
+        s["retry_policy"] = policies[k % 4]
+        s["max_retries"] = retries[k % 4]
+        s["timeout_us"] = timeouts[k % 4]
+    return world
+
+
 # ---------------------------------------------------------------------------
 # Spark DataFrame construction
 # ---------------------------------------------------------------------------

@@ -61,8 +61,36 @@ def test_retries_and_redirects_are_exercised():
     assert len(ids) > len(set(ids)), "no job was ever re-selected — retry path untested"
 
 
-def test_uniform_config_assertions_fire():
+def test_out_of_scope_config_assertions_fire():
+    # round 4: per-job timeout/policy/max_retries ARE in scope now; what the
+    # generator still refuses is the config it folds into constants —
+    # StopScraping policy and a non-default backoff cap
+    from crawlspark import constants as C
+
     world = synth.make_world(n_hosts=2, total_pages=20)
-    world.seeds[0]["timeout_us"] = 1000
+    world.seeds[0]["retry_policy"] = C.STOP_SCRAPING
     with pytest.raises(AssertionError):
         bsp_order_oracle_sql(world, wave_budget=10)
+
+    world2 = synth.make_world(n_hosts=2, total_pages=20)
+    world2.seeds[0]["max_retry_delay_us"] = 123_456
+    with pytest.raises(AssertionError):
+        bsp_order_oracle_sql(world2, wave_budget=10)
+
+
+def test_cte_matches_python_scheduler_mixed_config():
+    # round 4: per-job retry policy / retry cap / timeout carried through the
+    # recursion — the mixed-config worlds get the same hard oracle
+    for kw, budget in [
+        (dict(n_hosts=4, total_pages=60), 30),
+        (dict(n_hosts=5, total_pages=80), 25),
+        (dict(n_hosts=3, total_pages=120, host_budget=5), 20),
+    ]:
+        world = synth.make_mixed_config_world(**kw)
+        # the mix must actually exercise every policy and a biting timeout
+        pols = {s["retry_policy"] for s in world.seeds}
+        assert len(pols) == 3 and any(s["timeout_us"] for s in world.seeds)
+        exp = _python_order(world, budget)
+        got = _duckdb_order(world, budget)
+        assert len(exp) > 0
+        assert got == exp, (kw, budget)
