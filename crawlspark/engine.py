@@ -551,18 +551,40 @@ class CrawlEngine:
                 carry_js_links=(cfg.fetcher == "js"),
             )
             if cfg.extract_links_from_body and "body_html" in fetched.columns:
-                # P-3 link extraction from the response body (collect_job.go:
-                # 28-32 CSS-select analog, as a Catalyst regexp — no UDF).
-                # Cache hits keep their stored out_links (extracted when the
-                # response was first fetched); body is dropped immediately so
-                # HTML never enters the persisted wave state.
+                # P-3 link extraction from the response body. Default: the
+                # every-anchor Catalyst regexp (no UDF). Job types that
+                # declare link_selectors (round 4) instead get their links
+                # from the CSS-selector engine (crawlspark/selectors.py —
+                # the goquery Find().Attr() analog, Arrow-batched); types
+                # without selectors fall back via coalesce, so the
+                # zero-config path stays pure Catalyst. Cache hits keep
+                # their stored out_links (extracted when the response was
+                # first fetched); body is dropped immediately so HTML never
+                # enters the persisted wave state.
+                anchor_links = F.regexp_extract_all(
+                    F.col("body_html"), F.lit(r'<a href="([^"]+)"'), 1
+                )
+                sel_types = {
+                    t: s.link_selectors
+                    for t, s in self.specs.items()
+                    if getattr(s, "link_selectors", ())
+                }
+                if sel_types:
+                    from crawlspark import selectors as SEL
+
+                    extracted = F.coalesce(
+                        SEL.links_by_type_udf(sel_types)(
+                            F.col("job_type"), F.col("body_html")
+                        ),
+                        anchor_links,
+                    )
+                else:
+                    extracted = anchor_links
                 fetched = fetched.withColumn(
                     "out_links",
                     F.when(
                         ~F.col("from_cache") & F.col("body_html").isNotNull(),
-                        F.regexp_extract_all(
-                            F.col("body_html"), F.lit(r'<a href="([^"]+)"'), 1
-                        ),
+                        extracted,
                     ).otherwise(F.col("out_links")),
                 ).drop("body_html")
             if cfg.fetcher == "js" and "js_links" in fetched.columns:

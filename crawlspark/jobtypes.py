@@ -50,6 +50,16 @@ class JobTypeSpec:
     # Process returned data ≠ nil? (collect jobs return nil → no result row)
     emit_result: bool = True
     child_rules: tuple[ChildRule, ...] = field(default_factory=tuple)
+    # P-3 via CSS selectors (round 4): when set AND the engine runs with
+    # extract_links_from_body, this type's child links are the concatenation
+    # of these selectors' matches over the response body (document order per
+    # selector, selector order across them) instead of the generic
+    # every-anchor regexp — the declarative twin of goquery harvesting in
+    # user Process code (collect_job.go:28-32 `article.product_pod
+    # >div.image_container>a` + :52 `li.next>a`). Selector syntax:
+    # crawlspark.selectors (tag/.class paths, ' '/'>' combinators,
+    # ::attr(name)/::text extraction).
+    link_selectors: tuple[str, ...] = field(default_factory=tuple)
 
 
 def default_specs() -> dict[str, JobTypeSpec]:

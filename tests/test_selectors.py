@@ -1,0 +1,187 @@
+"""CSS-selector engine (crawlspark/selectors.py) — the goquery-analog
+surface (adapters/parsers/goqueryparser/goquery.go:17-24; call sites
+examples/books-to-scrape-simple/bookstoscrape/collect_job.go:28-52 and
+product.go:33-81).
+
+Driver-side grammar/semantics tests run without Spark; the UDF and the
+engine-integration (link_selectors) paths get one Spark test each, plus the
+books example run as a golden (selector-driven crawl == the known ordering
+and the banner anchor never becomes "seen").
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from crawlspark import selectors as SEL
+
+DOC = """
+<html><body>
+  <section class="catalog">
+    <article class="product_pod special">
+      <h3><a href="/b/1">One</a></h3>
+      <div class="image_container"><a href="/img/1"><img src="1.jpg"></a></div>
+      <p class="price_color">£10.00</p>
+    </article>
+    <article class="product_pod">
+      <h3><a href="/b/2">Two &amp; a half</a></h3>
+      <div class="image_container"><a href="/img/2"><img src="2.jpg"></a></div>
+      <p class="price_color">£11.50</p>
+    </article>
+    <div class="sidebar"><a href="/banner">ad</a></div>
+    <ul class="pager"><li class="next"><a href="/page/2">next</a></li></ul>
+  </section>
+</body></html>
+"""
+
+
+class TestGrammar:
+    def test_tag(self):
+        assert SEL.select_css(DOC, "h3") == ["One", "Two & a half"]
+
+    def test_class_only(self):
+        assert SEL.select_css(DOC, ".price_color") == ["£10.00", "£11.50"]
+
+    def test_tag_dot_class(self):
+        assert SEL.select_css(DOC, "p.price_color") == ["£10.00", "£11.50"]
+
+    def test_multi_class(self):
+        # both classes required: only the first article carries "special"
+        assert SEL.select_css(DOC, "article.product_pod.special > p") == ["£10.00"]
+
+    def test_child_combinator(self):
+        got = SEL.select_css(DOC, "div.image_container > a::attr(href)")
+        assert got == ["/img/1", "/img/2"]
+
+    def test_descendant_combinator(self):
+        # descendant reaches through h3 AND image_container anchors
+        got = SEL.select_css(DOC, "article.product_pod a::attr(href)")
+        assert got == ["/b/1", "/img/1", "/b/2", "/img/2"]
+
+    def test_child_vs_descendant_differ(self):
+        # article > a matches nothing (anchors are grandchildren)
+        assert SEL.select_css(DOC, "article.product_pod > a::attr(href)") == []
+
+    def test_attr_missing_skipped(self):
+        # goquery .Attr on a node without the attr → skipped, not empty-string
+        assert SEL.select_css(DOC, "article a::attr(title)") == []
+
+    def test_text_is_recursive(self):
+        # .Text() concatenates all descendant text in document order
+        got = SEL.select_css(DOC, "article.product_pod.special")
+        assert "One" in got[0] and "£10.00" in got[0]
+
+    def test_charref_decoded(self):
+        assert SEL.select_css(DOC, "article h3 > a")[1] == "Two & a half"
+
+    def test_document_order(self):
+        got = SEL.select_css(DOC, "a::attr(href)")
+        assert got == ["/b/1", "/img/1", "/b/2", "/img/2", "/banner", "/page/2"]
+
+    def test_three_level_path(self):
+        got = SEL.select_css(
+            DOC, "section.catalog article.product_pod > h3 > a::attr(href)"
+        )
+        assert got == ["/b/1", "/b/2"]
+
+    def test_bad_selector_raises(self):
+        with pytest.raises(ValueError):
+            SEL.compile_selector("a[href]")  # attribute selectors unsupported
+        with pytest.raises(ValueError):
+            SEL.compile_selector("")
+        with pytest.raises(ValueError):
+            SEL.compile_selector("a::first-child")
+
+
+class TestForgivingParse:
+    def test_unclosed_tags(self):
+        # <li> never closed: browser-style adoption, second li is a sibling
+        html = "<ul><li>a<li>b</ul><p>c</p>"
+        assert SEL.select_css(html, "ul > li") == ["a", "b"]
+        assert SEL.select_css(html, "p") == ["c"]
+
+    def test_void_elements_dont_nest(self):
+        html = '<div><img src="x"><a href="/y">y</a></div>'
+        # img is void: the anchor is div's child, not img's
+        assert SEL.select_css(html, "div > a::attr(href)") == ["/y"]
+
+    def test_self_closing(self):
+        html = '<div><br/><a href="/z">z</a></div>'
+        assert SEL.select_css(html, "div > a::attr(href)") == ["/z"]
+
+    def test_stray_end_tag_ignored(self):
+        html = "</p><div><span>x</span></div>"
+        assert SEL.select_css(html, "div > span") == ["x"]
+
+
+class TestSparkPaths:
+    def test_css_select_udf_matches_driver(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [("d1", DOC), ("d2", "<p class='price_color'>£9</p>"), ("d3", None)]
+        df = spark.createDataFrame(rows, "id string, body string")
+        got = {
+            r["id"]: r["m"]
+            for r in df.select(
+                "id", SEL.css_select_udf("p.price_color")(F.col("body")).alias("m")
+            ).collect()
+        }
+        assert got["d1"] == SEL.select_css(DOC, "p.price_color")
+        assert got["d2"] == ["£9"]
+        assert got["d3"] is None
+
+    def test_links_by_type_udf_fallback_null(self, spark):
+        from pyspark.sql import functions as F
+
+        udf = SEL.links_by_type_udf({"collect": ("li.next > a::attr(href)",)})
+        df = spark.createDataFrame(
+            [("collect", DOC), ("detail", DOC)], "job_type string, body string"
+        )
+        got = {
+            r["job_type"]: r["m"]
+            for r in df.select(
+                "job_type", udf(F.col("job_type"), F.col("body")).alias("m")
+            ).collect()
+        }
+        assert got["collect"] == ["/page/2"]
+        assert got["detail"] is None  # no selectors → null → caller's coalesce
+
+
+class TestBooksGolden:
+    """The rewritten example (selector-driven, real HTML bodies) must
+    reproduce the reference crawl exactly: 4 collect waves fanning out 20
+    detail jobs, banner anchors never extracted (the selector IS the
+    filter), products parsed field-for-field like product.go:33-81."""
+
+    def test_books_end_to_end(self, spark):
+        import books_to_scrape as B
+
+        world, run, products = B.run_books(spark)
+        rows = {r.upc: r for r in products.collect()}
+        assert len(rows) == 20
+        r7 = rows["upc-0007"]  # (7*3)%7 == 0 → genuinely out of stock
+        assert r7.availability == 0 and not r7.in_stock
+        r8 = rows["upc-0008"]
+        assert r8.name == "Book 8" and r8.currency == "£"
+        assert r8.price_excl_tax == pytest.approx(10 + 8 % 7 + 0.08)
+        assert r8.availability == (8 * 3) % 7 and r8.in_stock
+        assert r8.numbers_of_reviews == 8 % 4
+        # rule-less banner links: never extracted, never seen
+        assert run.seen.filter("cache_key LIKE '%banner%'").count() == 0
+        # wave structure: page k admits at wave k+1 alongside page k-1's books
+        order = [
+            (r.wave, r.url_canon)
+            for r in run.order.orderBy("wave", "rank").collect()
+        ]
+        assert order[0] == (1, "http://books.test/page/0")
+        waves = {}
+        for w, u in order:
+            waves.setdefault(w, []).append(u)
+        assert waves[2][0] == "http://books.test/page/1"
+        assert [u for u in waves[2] if "catalogue" in u] == [
+            f"http://books.test/catalogue/book-{i}" for i in range(5)
+        ]
+        assert len(waves[5]) == 5  # last wave: final page's books only
