@@ -228,3 +228,114 @@ def test_windowed_budget_resets_per_wave(spark, tmp_path):
         "SELECT wave, count(*) FILTER (WHERE admitted) AS n FROM t_window_reset GROUP BY wave"
     ).collect()
     assert {r["wave"]: r["n"] for r in out} == {1: 2, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# Late data / watermark semantics (round 4): the 10^10-key streaming seen-set
+# is only bounded because the watermark evicts state past the late-data
+# horizon — pin BOTH sides of that trade: duplicates inside the horizon are
+# dropped, keys re-arriving after eviction are re-admitted (at-most-once-per-
+# horizon, the reference's LRU-response-cache trade), and rows older than the
+# watermark are discarded as late.
+# ---------------------------------------------------------------------------
+
+def _write_batches(spark, src, schema, batches):
+    """One parquet file per micro-batch, mtimes strictly increasing so the
+    file source (maxFilesPerTrigger=1) triggers them in order."""
+    os.makedirs(src, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        d = os.path.join(src, f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t0 + i * 10, t0 + i * 10))
+
+
+def test_dedup_stream_watermark_horizon(spark, tmp_path):
+    from crawlspark.streaming import dedup_stream
+
+    from datetime import datetime
+
+    schema = "cache_key string, ts timestamp"
+    ts = lambda m: datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    # Watermark timing (pinned by the probe run this test was built from):
+    # wm(batch N) = max event time through batch N-1, minus delay; state
+    # eviction runs at batch COMMIT with that wm — so a key re-arriving in
+    # the same batch whose wm passed its expiry still hits live state and
+    # dedups; re-admission is only guaranteed one batch later.
+    _write_batches(
+        spark, str(tmp_path / "src"), schema,
+        [
+            # b0: first occurrences — both emitted (wm for b1 -> 09:50)
+            [("A", ts(0)), ("B", ts(0))],
+            # b1: A inside the 10-min horizon -> deduped; C new -> emitted;
+            # max ts 10:30 -> wm for b2 = 10:20
+            [("A", ts(5)), ("C", ts(30))],
+            # b2 (wm 10:20): B@10:05 older than wm -> dropped late; D new ->
+            # emitted; commit evicts A/B state (expired 10:10 < 10:20)
+            [("B", ts(5)), ("D", ts(40))],
+            # b3: A after eviction -> re-emitted (at-most-once-per-horizon,
+            # the LRU-cache trade)
+            [("A", ts(45))],
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src" / "*"))
+    )
+    out = dedup_stream(stream, keys=("cache_key",), ts_col="ts", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("t_wm_dedup")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["cache_key"], r["ts"].minute)
+        for r in spark.sql("SELECT * FROM t_wm_dedup").collect()
+    )
+    assert got == [("A", 0), ("A", 45), ("B", 0), ("C", 30), ("D", 40)]
+
+
+def test_admission_rate_watermark_closes_windows(spark, tmp_path):
+    from crawlspark.streaming import admission_rate_stream
+
+    from datetime import datetime
+
+    schema = "host string, seq long, ts timestamp"
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    _write_batches(
+        spark, str(tmp_path / "src"), schema,
+        [
+            # b0: 3 events in window 10:00, one at 10:05 (wm for b1 -> 10:03)
+            [("h1", 1, t(0)), ("h1", 2, t(0, 20)), ("h1", 3, t(0, 40)),
+             ("h1", 4, t(5))],
+            # b1 (wm 10:03): commit emits+evicts the 10:00 window at count 3;
+            # the 10:10 event sets wm for b2 = 10:08
+            [("h1", 6, t(10))],
+            # b2 (wm 10:08): straggler for the already-evicted 10:00 window
+            # -> dropped late, never double-counted; the far-future event
+            # closes 10:05 and (via the final wm 10:57) 10:10; its own
+            # 10:59 window never closes and must NOT be emitted
+            [("h1", 5, t(0, 30)), ("h1", 7, t(59))],
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src" / "*"))
+    )
+    out = admission_rate_stream(stream, window="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("t_wm_rate")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["window"].start.minute: (r["n_jobs"], r["first_seq"])
+        for r in spark.sql("SELECT * FROM t_wm_rate").collect()
+    }
+    # 10:00 counts 3 (late seq=5 excluded), first_seq pins FIFO provenance
+    assert got == {0: (3, 1), 5: (1, 4), 10: (1, 6)}
