@@ -1397,12 +1397,17 @@ def oracle_sql() -> dict[str, str]:
     o["pq_adc_topk"] = f"""
         WITH {_PQ_CENTS.strip()},
         qt AS (
+          -- distance tables quantized to INTEGER NANOS (the Spark kernel's
+          -- convention): float sums of rounded doubles land on 6-dp half-
+          -- boundaries where the engines' round() half-rules disagree;
+          -- integer sums are order-independent and bit-identical
           SELECT v.vec_id AS query_id, c.cidx, subs.m,
-                 round(list_sum(list_transform(range(1, 9),
-                   j -> pow(e[CAST(subs.m * 8 + j AS INT)] - ce[CAST(subs.m * 8 + j AS INT)], 2))), 9) AS d2
+                 CAST(round(list_sum(list_transform(range(1, 9),
+                   j -> pow(e[CAST(subs.m * 8 + j AS INT)] - ce[CAST(subs.m * 8 + j AS INT)], 2))) * 1e9) AS BIGINT) AS d2n
           FROM v, cents c, subs WHERE v.vec_id < 8),
         adc AS (
-          SELECT t.query_id, k.vec_id AS nbr_id, round(sum(t.d2), 6) AS adc_dist
+          SELECT t.query_id, k.vec_id AS nbr_id,
+                 CAST(sum(t.d2n) AS DOUBLE) / 1e9 AS adc_dist
           FROM codes k JOIN qt t ON t.cidx = k.cidx AND t.m = k.m
           WHERE k.vec_id != t.query_id
           GROUP BY t.query_id, k.vec_id)

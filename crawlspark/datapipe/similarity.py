@@ -564,9 +564,16 @@ def pq_adc_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the query path of an IVF-PQ
-    index: each query precomputes an n_sub × K table of (9-dp-rounded)
-    squared distances to every centroid, and a candidate's approximate
-    distance is n_sub table lookups summed — no raw corpus vectors touched.
+    index: each query precomputes an n_sub × K table of squared distances to
+    every centroid, and a candidate's approximate distance is n_sub table
+    lookups summed — no raw corpus vectors touched.
+
+    The tables are quantized to INTEGER NANOS (round(d2·1e9) as int64) and
+    summed in integer space; adc_dist = nanos/1e9. Summing floats and then
+    rounding is cross-engine-unstable here: sums of 9-dp-rounded doubles
+    land on exact 6-dp half-boundaries at ~1e-3 rate, where numpy
+    (half-to-even) and DuckDB (half-away-from-zero) disagree — integer sums
+    are order-independent and bit-identical in both engines.
 
     Same two-phase shape as cosine_topk: per-batch top-k inside the kernel
     (≤ k·|Q| rows leave each batch), tiny re-rank window after. Ties break
@@ -584,18 +591,21 @@ def pq_adc_topk(
         )
     qids = [r[0] for r in qrows]
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    # per-query distance tables: |Q| × n_sub × K, each entry rounded to 9 dp
-    tables = np.stack(
-        [
-            np.stack(
-                [
-                    _pq_dist2(q[None, m * d:(m + 1) * d], cmat[:, m * d:(m + 1) * d])[0]
-                    for m in range(n_sub)
-                ]
-            )
-            for q in qmat
-        ]
-    )
+    # per-query distance tables: |Q| × n_sub × K in integer nanos
+    tables = np.rint(
+        np.stack(
+            [
+                np.stack(
+                    [
+                        ((q[None, m * d:(m + 1) * d] - cmat[:, m * d:(m + 1) * d]) ** 2).sum(axis=-1)
+                        for m in range(n_sub)
+                    ]
+                )
+                for q in qmat
+            ]
+        )
+        * 1e9
+    ).astype(np.int64)
     bc = spark.sparkContext.broadcast((qids, tables))
     codes = pq_encode(corpus, n_centroids, n_sub, id_col, vec_col)
 
@@ -608,17 +618,21 @@ def pq_adc_topk(
             nbr = pdf["vec_id"].to_numpy()
             parts = []
             for qi, qid in enumerate(b_qids):
-                t = b_tables[qi]  # n_sub × K
-                dist = np.round(t[np.arange(n_sub), cmat_codes].sum(axis=1), 6)
+                t = b_tables[qi]  # n_sub × K, integer nanos
+                nanos = t[np.arange(n_sub), cmat_codes].sum(axis=1)
                 mask = nbr != qid
                 cand = np.flatnonzero(mask)
                 if cand.size == 0:
                     continue
-                order = np.lexsort((nbr[cand], dist[cand]))[:k]
+                order = np.lexsort((nbr[cand], nanos[cand]))[:k]
                 keep = cand[order]
                 parts.append(
                     pd.DataFrame(
-                        {"query_id": qid, "nbr_id": nbr[keep], "adc_dist": dist[keep]}
+                        {
+                            "query_id": qid,
+                            "nbr_id": nbr[keep],
+                            "adc_dist": nanos[keep] / 1e9,
+                        }
                     )
                 )
             if parts:
