@@ -20,6 +20,26 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id long, source string, text string")
 
 
+def _settled_baseline(spark, timeout_s: float = 15.0) -> int:
+    """clearCache unpersists ASYNCHRONOUSLY: right after release_caches a
+    shared session still lists blocks mid-drain from prior suites, and a
+    baseline read then is inflated — every later `> base` probe silently
+    fails (the in-suite flake this replaces). Poll until the count stops
+    falling before taking the baseline."""
+    import time
+
+    release_caches(spark)
+    n = _n_cached(spark)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        time.sleep(0.3)
+        m = _n_cached(spark)
+        if m >= n:
+            return m
+        n = m
+    return n
+
+
 def test_release_after_each_operator(spark):
     from crawlspark.datapipe.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
     from crawlspark.datapipe.sampling import curation_pipeline, scan_cumsum
@@ -29,8 +49,7 @@ def test_release_after_each_operator(spark):
     # blocks (engine lineage cuts — NOT SQL-cache entries) legitimately
     # survive clearCache; the hygiene claim is about the operators' OWN
     # persisted frames, i.e. storage returns to baseline after release
-    release_caches(spark)
-    base = _n_cached(spark)
+    base = _settled_baseline(spark)
     persisted_any = False
     for build in (
         lambda: lsh_candidate_pairs(d, k=8, bands=4),
@@ -42,6 +61,6 @@ def test_release_after_each_operator(spark):
     ):
         build().write.format("noop").mode("overwrite").save()  # consuming action
         persisted_any = persisted_any or _n_cached(spark) > base
-        release_caches(spark)
-        assert _n_cached(spark) <= base  # the hygiene hook fully releases it
+        # the hygiene hook fully releases it (settle: same async drain)
+        assert _settled_baseline(spark) <= base
     assert persisted_any  # the operators really do persist fan-out frames
