@@ -110,10 +110,10 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             s = json.load(f)
-        out["scaling"] = {
-            k: s[k]
-            for k in ("n_cores", "n4_cores", "throughput_n", "throughput_4n", "scaling_efficiency")
-        }
+        keys = ("n_cores", "n4_cores", "throughput_n", "throughput_4n",
+                "scaling_efficiency", "interleaved", "pair_efficiencies",
+                "quiet_pair_efficiency", "measured_round")
+        out["scaling"] = {k: s[k] for k in keys if k in s}
     print(json.dumps(out))
 
 

@@ -122,13 +122,17 @@ def main():
     ap.add_argument("--image-px", type=int, default=64)
     ap.add_argument("--payload", default="synthetic", choices=["synthetic", "table"])
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable), for A/B probes")
     args = ap.parse_args()
 
     from crawlspark.session import get_spark
 
     master = f"local[{args.cpus}]" if args.cpus else None
+    extra = dict(c.split("=", 1) for c in args.conf)
     spark = get_spark(app_name="crawl-bench", master=master,
-                      shuffle_partitions=args.shuffle_partitions)
+                      shuffle_partitions=args.shuffle_partitions,
+                      extra=extra or None)
     outs = [
         run_crawl_bench(
             spark, args.scale, args.wave_budget,

@@ -21,8 +21,23 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal time from /proc/stat (field 9 of the cpu line).
+    This sandbox is a guest VM with bursty external neighbors; steal is the
+    direct, kernel-reported measure of CPU the host took from us during a
+    rep. A 16-thread level collapses under a burst while a 4-thread level
+    barely notices, so uninstrumented N-vs-4N ratios conflate engine
+    scaling with neighbor activity — each rep records its own steal%
+    so contaminated reps are identifiable in the artifact."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
               no_images: bool, image_px: int, shuffle_partitions: int) -> list[dict]:
+    import time
+
+    n_host_cpus = os.cpu_count() or 1
     outs = []
     for rep in range(reps):
         cmd = [
@@ -37,13 +52,18 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
         if no_images:
             cmd.append("--no-images")
         env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM="48g")
+        s0, t0 = _steal_jiffies(), time.monotonic()
         res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+        s1, t1 = _steal_jiffies(), time.monotonic()
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
         if not line:
             raise RuntimeError(f"rep {rep} cpus={cpus} produced no JSON:\n{res.stderr[-2000:]}")
         d = json.loads(line[-1])
         d.pop("per_wave", None)
-        print(f"  cpus={cpus} rep={rep}: {d['urls_per_sec']} urls/s ({d['wall_sec']}s, {d['waves']} waves)", flush=True)
+        # jiffies are 10ms ticks; normalize over the whole-VM core count
+        d["steal_pct"] = round(100.0 * (s1 - s0) * 0.01 / ((t1 - t0) * n_host_cpus), 2)
+        print(f"  cpus={cpus} rep={rep}: {d['urls_per_sec']} urls/s ({d['wall_sec']}s, "
+              f"{d['waves']} waves, steal={d['steal_pct']}%)", flush=True)
         outs.append(d)
     return outs
 
@@ -59,19 +79,55 @@ def main():
     ap.add_argument("--no-images", action="store_true")
     ap.add_argument("--image-px", type=int, default=256)
     ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument("--interleave", action="store_true",
+                    help="alternate N / 4N reps (N,4N,N,4N,...) instead of "
+                         "running each level in a block — this VM's "
+                         "contention is bursty and external, so a block "
+                         "design lets one burst land entirely on one level; "
+                         "interleaved pairs share each time window and the "
+                         "per-pair efficiencies expose the burst directly")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
 
     levels = {}
-    for cpus in (args.n, args.n4):
-        outs = run_level(cpus, args.scale, args.wave_budget, args.max_waves,
-                         args.reps, args.no_images, args.image_px,
-                         args.shuffle_partitions)
-        med = statistics.median(o["urls_per_sec"] for o in outs)
-        levels[str(cpus)] = {
-            "median_urls_per_sec": med,
-            "runs": outs,
-        }
+    pair_effs = quiet_eff = None
+    if args.interleave:
+        runs = {args.n: [], args.n4: []}
+        for rep in range(args.reps):
+            for cpus in (args.n, args.n4):
+                runs[cpus] += run_level(cpus, args.scale, args.wave_budget,
+                                        args.max_waves, 1, args.no_images,
+                                        args.image_px, args.shuffle_partitions)
+        pair_effs = [
+            round(b["urls_per_sec"] / (4 * a["urls_per_sec"]), 3)
+            for a, b in zip(runs[args.n], runs[args.n4])
+        ]
+        print(f"  per-pair efficiencies: {pair_effs}", flush=True)
+        # quiet pairs: both legs ran with ≤1% hypervisor steal — the
+        # engine's own scaling, separated from external neighbor bursts
+        quiet = [
+            e for e, a, b in zip(pair_effs, runs[args.n], runs[args.n4])
+            if a.get("steal_pct", 99) <= 1.0 and b.get("steal_pct", 99) <= 1.0
+        ]
+        quiet_eff = round(statistics.median(quiet), 3) if quiet else None
+        print(f"  quiet-pair efficiencies (steal<=1% both legs): {quiet}", flush=True)
+        for cpus in (args.n, args.n4):
+            levels[str(cpus)] = {
+                "median_urls_per_sec": statistics.median(
+                    o["urls_per_sec"] for o in runs[cpus]
+                ),
+                "runs": runs[cpus],
+            }
+    else:
+        for cpus in (args.n, args.n4):
+            outs = run_level(cpus, args.scale, args.wave_budget, args.max_waves,
+                             args.reps, args.no_images, args.image_px,
+                             args.shuffle_partitions)
+            med = statistics.median(o["urls_per_sec"] for o in outs)
+            levels[str(cpus)] = {
+                "median_urls_per_sec": med,
+                "runs": outs,
+            }
     t_n = levels[str(args.n)]["median_urls_per_sec"]
     t_4n = levels[str(args.n4)]["median_urls_per_sec"]
     eff = t_4n / (4 * t_n)
@@ -87,6 +143,10 @@ def main():
         "throughput_n": t_n,
         "throughput_4n": t_4n,
         "scaling_efficiency": round(eff, 3),
+        "interleaved": bool(args.interleave),
+        "pair_efficiencies": pair_effs,
+        "quiet_pair_efficiency": quiet_eff,
+        "measured_round": 4,
         "levels": levels,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -29,7 +29,7 @@ joins it — an empty frontier ends the recursion (the inactivity-exit analog).
 
 Scope (round 4 — per-job config): the state rows carry each job's
 retry_policy / max_retries / timeout_us, inherited by children exactly like
-engine._expand_children, so mixed-config worlds (RetryJob + DiscardJob +
+engine._expand_plan, so mixed-config worlds (RetryJob + DiscardJob +
 RefreshIP policies, per-job retry caps, per-job timeouts against the
 redirect-accumulated page latency) get the same hard oracle as the uniform
 world (`crawl_bsp_mixed` contract query). Still hard-coded: a uniform
@@ -267,7 +267,7 @@ def bsp_order_oracle_sql(
                            WHEN o.retry_count < {eff_max} THEN 'retry'
                            ELSE 'failed' END AS outcome
           FROM fetched o),
-        -- engine._expand_children: links of done parents, doc order
+        -- engine._expand_plan: links of done parents, doc order
         kids AS (
           SELECT o.job_id AS parent_id, o.wrank AS parent_rank,
                  o.priority AS pprio, o.pol AS kpol, o.maxr AS kmaxr, o.tmo AS ktmo,

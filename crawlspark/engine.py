@@ -247,20 +247,22 @@ class CrawlEngine:
         return pending, seen_delta, blocked_terminal
 
     # ------------------------------------------------------------------ #
-    def _expand_children(self, done: DataFrame, seen: DataFrame, wave: int, wave_ts: int, seq_base: int):
+    def _expand_plan(self, done: DataFrame, seen: DataFrame):
         """Stage 7: crawl expansion (finishJob→pushJobs, scrapemate.go:578-603).
 
         Children inherit the parent's priority/retry config; job identity is
         md5(parent|pos|canon)[:16]; dedup = in-batch first-occurrence window
         + bloom prefilter + exact seen probe (seen.py).
 
-        ONE driver action for the whole stage: every per-row decision is a
-        flag (`_first` in-batch winner, `_seen` probe, `_blocked` robots), and
-        a single per-range-partition aggregate yields candidate/fresh/admit
-        counts AND the rank offsets for deterministic seq assignment. The
-        round-1 version spent 3 extra actions here (candidate count, anti-join
-        rank collect, seen-delta count) — driver round-trips are the serial
-        floor that capped N→4N scaling efficiency."""
+        ZERO driver actions here (round 4; the round-1 version spent 4, the
+        round-2/3 version 1): every per-row decision is a flag (`_first`
+        in-batch winner, `_seen` probe, `_blocked` robots), and the returned
+        per-range-partition aggregate — candidate/fresh/admit counts AND the
+        rank offsets for deterministic seq assignment — is UNIONED with the
+        outcome aggregate into the wave's single fused action, so the two
+        legs' stages overlap inside one job instead of paying two sequential
+        job latencies. Driver round-trips are the serial floor that caps
+        N→4N scaling efficiency; the whole loop is now one action per wave."""
         parents = done.filter(
             F.col("out_links").isNotNull() & (F.size("out_links") > 0)
         ).select(
@@ -338,16 +340,18 @@ class CrawlEngine:
             )
             .persist()
         )
-        stats = self._retry_action(
-            lambda: parted.groupBy("_pid")
-            .agg(
-                F.count("*").alias("n_cand"),
-                F.sum(F.when(F.col("_fresh"), 1).otherwise(0)).alias("n_fresh"),
-                F.sum(F.when(F.col("_admit"), 1).otherwise(0)).alias("n_admit"),
-                F.sum(F.when(F.col("_admit") & F.col("is_init"), 1).otherwise(0)).alias("n_admit_init"),
-            )
-            .collect()
-        )  # ← the stage's single driver action (F-4 retry-wrapped)
+        ex_agg = parted.groupBy("_pid").agg(
+            F.count("*").alias("n_cand"),
+            F.sum(F.when(F.col("_fresh"), 1).otherwise(0)).alias("n_fresh"),
+            F.sum(F.when(F.col("_admit"), 1).otherwise(0)).alias("n_admit"),
+            F.sum(F.when(F.col("_admit") & F.col("is_init"), 1).otherwise(0)).alias("n_admit_init"),
+        )
+        return parted, ex_agg
+
+    def _expand_finish(self, parted: DataFrame, stats, wave: int, wave_ts: int, seq_base: int):
+        """Consume the collected per-partition stats (the expansion leg of
+        the wave's single fused action) and build the admitted / seen-delta /
+        blocked frames over the already-persisted `parted`."""
         n_candidates = sum(r["n_cand"] for r in stats)
         n_new = sum(r["n_fresh"] or 0 for r in stats)
         n_allowed_init = sum(r["n_admit_init"] or 0 for r in stats)
@@ -614,11 +618,23 @@ class CrawlEngine:
                 fetched = fetched.withColumn("hook_events", FT.hook_events_expr())
             out = FT.apply_outcomes(fetched, wave_ts).persist()
 
-            # wave driver action 1 of 2: materializes selection + fetch +
-            # outcomes in one job; n_sched falls out as the count total
-            oc_rows = self._retry_action(
-                lambda: out.groupBy("outcome", "is_init").agg(F.count("*").alias("n")).collect()
+            # THE wave's single driver action (round 4; was 2 in r2/r3): the
+            # outcome aggregate and the expansion per-partition aggregate are
+            # unioned into one collect, so one job materializes selection +
+            # fetch + outcomes AND the candidate expansion — the two legs'
+            # stages overlap instead of paying two sequential job latencies.
+            done = out.filter(F.col("outcome") == "done")
+            parted, ex_agg = self._expand_plan(done, seen)
+            oc_agg = out.groupBy("outcome", "is_init").agg(F.count("*").alias("n"))
+            fused = oc_agg.select(
+                F.lit("oc").alias("_kind"), "outcome", "is_init", "n"
+            ).unionByName(
+                ex_agg.withColumn("_kind", F.lit("ex")),
+                allowMissingColumns=True,
             )
+            rows = self._retry_action(fused.collect)
+            oc_rows = [r for r in rows if r["_kind"] == "oc"]
+            ex_stats = [r for r in rows if r["_kind"] == "ex"]
             by_outcome: dict[str, int] = {}
             n_sched_init = n_retried_init = 0
             for r in oc_rows:
@@ -632,6 +648,7 @@ class CrawlEngine:
             if n_sched == 0:
                 wave_sel.unpersist()
                 out.unpersist()
+                parted.unpersist()
                 src = pending.filter("is_init") if init_phase else pending
                 nxt = src.agg(F.min("not_before_us").alias("m")).collect()[0]["m"]
                 if nxt is None:
@@ -656,7 +673,6 @@ class CrawlEngine:
                 F.col("rank").cast("long").alias("rank"),
                 "job_id", "url_canon", "is_init",
             )
-            done = out.filter(F.col("outcome") == "done")
             responses_df = done.select(
                 "cache_key", "status", "body_image_id", "out_links", "latency_us"
             )
@@ -685,7 +701,7 @@ class CrawlEngine:
 
             (admitted, n_allowed, seen_delta, blocked_term,
              n_candidates, n_new, n_allowed_init) = (
-                self._expand_children(done, seen, wave, wave_ts, seq_base)
+                self._expand_finish(parted, ex_stats, wave, wave_ts, seq_base)
             )
             self._tick("expand", wave)
             admitted = self._materialize(admitted, "admitted", wave)
@@ -763,6 +779,7 @@ class CrawlEngine:
                 )
                 out.unpersist()
                 wave_sel.unpersist()
+                parted.unpersist()
             # memory mode: `out`/`cand` stay cached — the end-of-run union of
             # wave outputs reads them instead of recomputing the whole wave
             if n_pending_after == 0:

@@ -287,7 +287,7 @@ def make_mixed_config_world(**kw) -> World:
     cycles RetryJob / DiscardJob / RefreshIP, per-job retry caps vary 0..3,
     and two timeout tiers (30 ms / 12 ms) bite against the pages' 1–50 ms
     deterministic latencies. Children inherit their seed subtree's config
-    (engine._expand_children), so the whole frontier is config-mixed.
+    (engine._expand_plan), so the whole frontier is config-mixed.
     StopScraping is deliberately absent — the recursive-CTE oracle excludes
     it (bsporacle.py scope note); stop stays pinned by the engine golden."""
     world = make_world(**kw)
