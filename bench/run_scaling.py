@@ -33,6 +33,20 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
+def _steal_probe(sec: float) -> float:
+    """Instantaneous whole-VM steal%% over a short window — used to defer
+    LAUNCHING a measurement pair until the hypervisor is quiet. Gating is on
+    launch conditions only; every launched pair is recorded in the artifact
+    whatever happens to it mid-flight."""
+    import time
+
+    n = os.cpu_count() or 1
+    s0 = _steal_jiffies()
+    time.sleep(sec)
+    s1 = _steal_jiffies()
+    return 100.0 * (s1 - s0) * 0.01 / (sec * n)
+
+
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
               no_images: bool, image_px: int, shuffle_partitions: int) -> list[dict]:
     import time
@@ -86,18 +100,55 @@ def main():
                          "design lets one burst land entirely on one level; "
                          "interleaved pairs share each time window and the "
                          "per-pair efficiencies expose the burst directly")
+    ap.add_argument("--quiet-gate", type=float, default=None,
+                    help="with --interleave: before each pair, probe steal%% "
+                         "for 15s and defer launch until it is below this "
+                         "gate; keep collecting pairs until --quiet-target "
+                         "pairs have both legs <=1%% steal or --max-hours "
+                         "elapses. Launch-time gating only — every launched "
+                         "pair is recorded.")
+    ap.add_argument("--quiet-target", type=int, default=3)
+    ap.add_argument("--max-hours", type=float, default=3.0)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
 
     levels = {}
     pair_effs = quiet_eff = None
     if args.interleave:
+        import time
+
         runs = {args.n: [], args.n4: []}
-        for rep in range(args.reps):
+
+        def _n_quiet():
+            return sum(
+                1 for a, b in zip(runs[args.n], runs[args.n4])
+                if a["steal_pct"] <= 1.0 and b["steal_pct"] <= 1.0
+            )
+
+        t_start = time.monotonic()
+        rep = 0
+        while True:
+            if args.quiet_gate is not None:
+                if _n_quiet() >= args.quiet_target:
+                    break
+                if time.monotonic() - t_start > args.max_hours * 3600:
+                    print("  max-hours reached", flush=True)
+                    break
+                g = _steal_probe(15)
+                if g > args.quiet_gate:
+                    print(f"  steal probe {g:.2f}% > gate {args.quiet_gate}% — deferring", flush=True)
+                    time.sleep(60)
+                    continue
+                print(f"  steal probe {g:.2f}% — launching pair {rep}", flush=True)
+            elif rep >= args.reps:
+                break
             for cpus in (args.n, args.n4):
                 runs[cpus] += run_level(cpus, args.scale, args.wave_budget,
                                         args.max_waves, 1, args.no_images,
                                         args.image_px, args.shuffle_partitions)
+            rep += 1
+            with open(args.out + ".partial", "w") as f:
+                json.dump({"runs_n": runs[args.n], "runs_4n": runs[args.n4]}, f, indent=1)
         pair_effs = [
             round(b["urls_per_sec"] / (4 * a["urls_per_sec"]), 3)
             for a, b in zip(runs[args.n], runs[args.n4])
@@ -146,6 +197,7 @@ def main():
         "interleaved": bool(args.interleave),
         "pair_efficiencies": pair_effs,
         "quiet_pair_efficiency": quiet_eff,
+        "quiet_gate": args.quiet_gate,
         "measured_round": 4,
         "levels": levels,
     }
