@@ -110,6 +110,11 @@ def main():
     ap.add_argument("--quiet-target", type=int, default=3)
     ap.add_argument("--max-hours", type=float, default=3.0)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
+    ap.add_argument("--resume", action="store_true",
+                    help="seed the interleaved collection from an existing "
+                         "<out>.partial (pairs collected by a prior process "
+                         "that died mid-collection are kept; collection "
+                         "continues until the quiet target is met)")
     args = ap.parse_args()
 
     levels = {}
@@ -118,6 +123,13 @@ def main():
         import time
 
         runs = {args.n: [], args.n4: []}
+        if args.resume and os.path.exists(args.out + ".partial"):
+            with open(args.out + ".partial") as f:
+                prior = json.load(f)
+            runs[args.n] = prior.get("runs_n", [])
+            runs[args.n4] = prior.get("runs_4n", [])
+            print(f"  resumed {len(runs[args.n])} N-legs / "
+                  f"{len(runs[args.n4])} 4N-legs from partial", flush=True)
 
         def _n_quiet():
             return sum(
