@@ -34,7 +34,10 @@ def _pairs_from(doc: dict, source: str) -> list[dict]:
     """
     if "runs_n" in doc:
         n_runs, n4_runs = doc["runs_n"], doc["runs_4n"]
-    elif doc.get("interleaved") and "levels" in doc:
+    elif "levels" in doc:
+        # Block-design runs are pairable too when each leg recorded its own
+        # steal%: rep i at N vs rep i at 4N — the steal columns carry the
+        # contention information the interleave otherwise provides.
         lv = doc["levels"]
         keys = sorted(lv, key=int)
         n_runs, n4_runs = lv[keys[0]]["runs"], lv[keys[1]]["runs"]
