@@ -19,30 +19,57 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Under `spark-submit` the JVM gateway already exists (PythonRunner exports
+    # PYSPARK_GATEWAY_PORT to the driver) and carries --master / --conf from
+    # the submit command line — the cluster's source of truth. In that mode the
+    # builder must not override anything the submit set; our config block only
+    # fills gaps. A plain `python script.py` driver has no gateway env and gets
+    # the sandbox defaults below.
+    submit_preset: dict[str, str] = {}
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        from pyspark import SparkConf
+        from pyspark.context import SparkContext
+
+        # SparkConf() is pure-Python (and empty) until the Py4J gateway is
+        # attached; _ensure_initialized connects to the gateway spark-submit
+        # already started (it does NOT launch a second JVM — launch_gateway
+        # short-circuits on PYSPARK_GATEWAY_PORT) and makes the JVM system
+        # properties (--master, --conf ...) readable.
+        SparkContext._ensure_initialized()
+        submit_preset = dict(SparkConf().getAll())
+
     cores = os.cpu_count() or 8
+    if master is None and "spark.master" in submit_preset:
+        master = submit_preset["spark.master"]
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
+    if shuffle_partitions is None and "spark.sql.shuffle.partitions" in submit_preset:
+        shuffle_partitions = int(submit_preset["spark.sql.shuffle.partitions"])
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cores)
         n = cores if n == "*" else int(n)
         shuffle_partitions = max(2 * int(n), 8)
 
-    b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    defaults = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # image binary columns make rows big — cap Arrow batch rows
         # (256 rows × ~200KB payload ≈ 50MB per in-flight batch per core)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    )
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+        "spark.driver.memory": os.environ.get("CRAWLSPARK_DRIVER_MEM", "16g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    b = SparkSession.builder.master(master).appName(app_name)
+    for k, v in defaults.items():
+        # gap-fill only: a --conf from spark-submit wins over sandbox defaults
+        # (shuffle_partitions resolved above, so an explicit arg still wins)
+        if k not in submit_preset or k == "spark.sql.shuffle.partitions":
+            b = b.config(k, v)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
