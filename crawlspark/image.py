@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -31,21 +32,37 @@ PSNR_EXACT = float("inf")
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=16)
+def _gradient_u16(w: int, h: int) -> np.ndarray:
+    """The (h, w, 1) gradient overlay, cached per size.
+
+    Every image in a crawl run shares one size, so the mgrid + integer-divide
+    passes (5 full-frame array walks, the most expensive part of reference
+    regeneration) run once per executor instead of once per row — a pure
+    memory-bandwidth save that matters most on the wide-parallelism leg,
+    where the payload stage is DRAM-bound (BENCH/BASELINE.md probe 7)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx * 255 // max(w - 1, 1)) // 2 + (yy * 255 // max(h - 1, 1)) // 2).astype(
+        np.uint8
+    )
+    return grad[..., None].astype(np.uint16)
+
+
 def reference_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """The ground-truth pixels for an image_id — a per-id PRNG pattern.
 
     Validation regenerates these and compares against the decoded payload
     (the 'decoded-pixel allclose vs reference' invariant in input_hint).
+    (base + grad) >> 1 on uint16 equals the original
+    (base.astype(u16) + grad) // 2 bit-for-bit (non-negative ints), with the
+    gradient overlay — deterministic so images aren't pure noise — cached.
     """
     seed = int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "little")
     rng = np.random.Generator(np.random.PCG64(seed))
     base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    # overlay a deterministic gradient so images aren't pure noise (helps phash)
-    yy, xx = np.mgrid[0:h, 0:w]
-    grad = ((xx * 255 // max(w - 1, 1)) // 2 + (yy * 255 // max(h - 1, 1)) // 2).astype(
-        np.uint8
-    )
-    return ((base.astype(np.uint16) + grad[..., None]) // 2).astype(np.uint8)
+    t = base + _gradient_u16(w, h)  # broadcasts; upcasts to uint16
+    np.right_shift(t, 1, out=t)
+    return t.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +224,10 @@ LOSSLESS = {"ppm", "bmp", "png"}
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    # int16 diff then one float64 square: bit-identical to squaring the two
+    # float64 casts (uint8 diffs are exact in both), at half the DRAM traffic
+    d = a.astype(np.int16) - b.astype(np.int16)
+    mse = np.mean(np.square(d.astype(np.float64)))
     if mse == 0:
         return PSNR_EXACT
     return float(10.0 * np.log10(255.0**2 / mse))
@@ -258,7 +278,8 @@ def validate_image_udf(
             px = DECODERS[f](bytes(raw))
             ref = reference_pixels(iid, px.shape[1], px.shape[0])
             p = psnr_db(px, ref)
-            ok = bool(np.array_equal(px, ref)) if f in LOSSLESS else bool(p >= 40.0)
+            # lossless: PSNR_EXACT ⟺ mse == 0 ⟺ arrays equal — no second pass
+            ok = (p == PSNR_EXACT) if f in LOSSLESS else bool(p >= 40.0)
             psnrs.append(1e9 if p == PSNR_EXACT else p)
             oks.append(ok)
             hashes.append(average_hash(px))
@@ -296,11 +317,8 @@ def fetch_validate_udf(image_id: pd.Series, px_size: pd.Series) -> pd.DataFrame:
             payload = ENCODERS[fmt](ref)  # the simulated network response
             decoded = DECODERS[fmt](payload)
             p = psnr_db(decoded, ref)
-            ok = (
-                bool(np.array_equal(decoded, ref))
-                if fmt in LOSSLESS
-                else bool(p >= 40.0)
-            )
+            # lossless: PSNR_EXACT ⟺ mse == 0 ⟺ arrays equal — no second pass
+            ok = (p == PSNR_EXACT) if fmt in LOSSLESS else bool(p >= 40.0)
             psnrs.append(1e9 if p == PSNR_EXACT else p)
             oks.append(ok)
             hashes.append(average_hash(decoded))
