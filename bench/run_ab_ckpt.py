@@ -1,0 +1,114 @@
+"""Interleaved A/B for the round-4 checkpoint compilation change.
+
+A = CRAWLSPARK_CKPT_AQE=1 (pre-round-4: per-wave localCheckpoint(eager=False)
+    plans compiled under AQE, which materializes every non-final query stage
+    at compile time — a serial driver barrier per checkpoint call site)
+B = default (round 4: checkpoint plans compiled with AQE off, so the cut is
+    free at the call site and the work folds into the next wave's single
+    fused action)
+
+Same protocol as the scaling harness: arms ALTERNATE in time (A,B,A,B,...)
+so external hypervisor bursts land on both, and each leg records whole-VM
+steal%% from /proc/stat so contaminated pairs are identifiable. Crawl output
+is deterministic and identical across arms (the engine goldens + BSP oracle
+pin that); only wall time differs.
+
+Usage: cd /root/repo && python bench/run_ab_ckpt.py [--pairs 3] [--cpus 16]
+Writes BENCH/ab_r4_ckpt.json and prints a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _steal_jiffies() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def run_leg(cpus: int, ckpt_aqe: bool, scale: str, wave_budget: int,
+            max_waves: int, image_px: int, shuffle_partitions: int) -> dict:
+    cmd = [
+        sys.executable, os.path.join(HERE, "run_crawl.py"),
+        "--cpus", str(cpus), "--scale", scale,
+        "--wave-budget", str(wave_budget), "--max-waves", str(max_waves),
+        "--image-px", str(image_px),
+        "--shuffle-partitions", str(shuffle_partitions),
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM="48g")
+    if ckpt_aqe:
+        env["CRAWLSPARK_CKPT_AQE"] = "1"
+    else:
+        env.pop("CRAWLSPARK_CKPT_AQE", None)
+    n_host = os.cpu_count() or 1
+    s0, t0 = _steal_jiffies(), time.monotonic()
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    s1, t1 = _steal_jiffies(), time.monotonic()
+    line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        raise RuntimeError(f"leg ckpt_aqe={ckpt_aqe} produced no JSON:\n{res.stderr[-2000:]}")
+    d = json.loads(line[-1])
+    d.pop("per_wave", None)
+    d["steal_pct"] = round(100.0 * (s1 - s0) * 0.01 / ((t1 - t0) * n_host), 2)
+    d["ckpt_aqe"] = ckpt_aqe
+    print(f"  arm={'A(aqe-ckpt)' if ckpt_aqe else 'B(static-ckpt)'}: "
+          f"{d['urls_per_sec']} urls/s ({d['wall_sec']}s, steal={d['steal_pct']}%)",
+          flush=True)
+    return d
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--scale", default="xsat")
+    ap.add_argument("--wave-budget", type=int, default=400_000)
+    ap.add_argument("--max-waves", type=int, default=4)
+    ap.add_argument("--image-px", type=int, default=224)
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "ab_r4_ckpt.json"))
+    args = ap.parse_args()
+
+    runs_a, runs_b = [], []
+    for p in range(args.pairs):
+        print(f"pair {p}:", flush=True)
+        runs_a.append(run_leg(args.cpus, True, args.scale, args.wave_budget,
+                              args.max_waves, args.image_px, args.shuffle_partitions))
+        runs_b.append(run_leg(args.cpus, False, args.scale, args.wave_budget,
+                              args.max_waves, args.image_px, args.shuffle_partitions))
+        result = {
+            "arm_a": "ckpt compiled under AQE (pre-round-4)",
+            "arm_b": "ckpt compiled statically (round 4 default)",
+            "cpus": args.cpus,
+            "scale": args.scale,
+            "image_px": args.image_px,
+            "shuffle_partitions": args.shuffle_partitions,
+            "wave_budget": args.wave_budget,
+            "max_waves": args.max_waves,
+            "median_a_urls_per_sec": statistics.median(r["urls_per_sec"] for r in runs_a),
+            "median_b_urls_per_sec": statistics.median(r["urls_per_sec"] for r in runs_b),
+            "runs_a": runs_a,
+            "runs_b": runs_b,
+        }
+        result["speedup_b_over_a"] = round(
+            result["median_b_urls_per_sec"] / result["median_a_urls_per_sec"], 3
+        )
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in
+                      ("median_a_urls_per_sec", "median_b_urls_per_sec",
+                       "speedup_b_over_a")}))
+
+
+if __name__ == "__main__":
+    main()
