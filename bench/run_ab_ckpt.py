@@ -36,6 +36,18 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
+def _steal_probe(sec: float) -> float:
+    """Instantaneous whole-VM steal%% over a short window — same launch gate
+    as bench/run_scaling.py: defer LAUNCHING a pair until the hypervisor is
+    quiet. Gating is on launch conditions only; every launched pair is
+    recorded in the artifact whatever happens to it mid-flight."""
+    n = os.cpu_count() or 1
+    s0 = _steal_jiffies()
+    time.sleep(sec)
+    s1 = _steal_jiffies()
+    return 100.0 * (s1 - s0) * 0.01 / (sec * n)
+
+
 def run_leg(cpus: int, ckpt_aqe: bool, scale: str, wave_budget: int,
             max_waves: int, image_px: int, shuffle_partitions: int) -> dict:
     cmd = [
@@ -76,16 +88,45 @@ def main() -> None:
     ap.add_argument("--max-waves", type=int, default=4)
     ap.add_argument("--image-px", type=int, default=224)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--quiet-gate", type=float, default=None,
+                    help="before each pair, probe steal%% for 15s and defer "
+                         "launch until it is below this gate; keep collecting "
+                         "pairs until --quiet-target pairs have both legs "
+                         "<=1%% steal or --max-hours elapses (overrides "
+                         "--pairs). Launch-time gating only — every launched "
+                         "pair is recorded.")
+    ap.add_argument("--quiet-target", type=int, default=2)
+    ap.add_argument("--max-hours", type=float, default=2.0)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "ab_r4_ckpt.json"))
     args = ap.parse_args()
 
+    def _n_quiet(ra, rb):
+        return sum(1 for a, b in zip(ra, rb)
+                   if a["steal_pct"] <= 1.0 and b["steal_pct"] <= 1.0)
+
     runs_a, runs_b = [], []
-    for p in range(args.pairs):
+    t_start, p = time.monotonic(), 0
+    while True:
+        if args.quiet_gate is not None:
+            if _n_quiet(runs_a, runs_b) >= args.quiet_target:
+                break
+            if time.monotonic() - t_start > args.max_hours * 3600:
+                print("  max-hours reached", flush=True)
+                break
+            g = _steal_probe(15)
+            if g > args.quiet_gate:
+                print(f"  steal probe {g:.2f}% > gate {args.quiet_gate}% — deferring", flush=True)
+                time.sleep(60)
+                continue
+            print(f"  steal probe {g:.2f}% — launching pair {p}", flush=True)
+        elif p >= args.pairs:
+            break
         print(f"pair {p}:", flush=True)
         runs_a.append(run_leg(args.cpus, True, args.scale, args.wave_budget,
                               args.max_waves, args.image_px, args.shuffle_partitions))
         runs_b.append(run_leg(args.cpus, False, args.scale, args.wave_budget,
                               args.max_waves, args.image_px, args.shuffle_partitions))
+        p += 1
         result = {
             "arm_a": "ckpt compiled under AQE (pre-round-4)",
             "arm_b": "ckpt compiled statically (round 4 default)",
@@ -103,11 +144,26 @@ def main() -> None:
         result["speedup_b_over_a"] = round(
             result["median_b_urls_per_sec"] / result["median_a_urls_per_sec"], 3
         )
+        # quiet pairs: both legs ran with ≤1% hypervisor steal — the change's
+        # own effect, separated from external neighbor bursts
+        qa = [a["urls_per_sec"] for a, b in zip(runs_a, runs_b)
+              if a["steal_pct"] <= 1.0 and b["steal_pct"] <= 1.0]
+        qb = [b["urls_per_sec"] for a, b in zip(runs_a, runs_b)
+              if a["steal_pct"] <= 1.0 and b["steal_pct"] <= 1.0]
+        result["quiet_pairs"] = len(qa)
+        result["quiet_median_a"] = statistics.median(qa) if qa else None
+        result["quiet_median_b"] = statistics.median(qb) if qb else None
+        result["quiet_speedup_b_over_a"] = (
+            round(statistics.median(qb) / statistics.median(qa), 3) if qa else None
+        )
+        result["quiet_gate"] = args.quiet_gate
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
-    print(json.dumps({k: result[k] for k in
-                      ("median_a_urls_per_sec", "median_b_urls_per_sec",
-                       "speedup_b_over_a")}))
+    if runs_a:
+        print(json.dumps({k: result[k] for k in
+                          ("median_a_urls_per_sec", "median_b_urls_per_sec",
+                           "speedup_b_over_a", "quiet_pairs",
+                           "quiet_speedup_b_over_a")}))
 
 
 if __name__ == "__main__":

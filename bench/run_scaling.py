@@ -154,7 +154,25 @@ def main():
                 print(f"  steal probe {g:.2f}% — launching pair {rep}", flush=True)
             elif rep >= args.reps:
                 break
-            for cpus in (args.n, args.n4):
+            # 4N leg FIRST: it is the steal-SENSITIVE one (a 16-thread gang
+            # collapses under a burst while 4 threads barely notice), so it
+            # must run in the window the 15s probe just certified quiet.
+            # Running N first (as rounds 1-3 did) burns ~10-13 min of the
+            # certified window on the insensitive leg and hands the sensitive
+            # leg to whatever the host looks like a quarter-hour later —
+            # 8 pairs collected that way yielded zero with both legs ≤1%.
+            for cpus in (args.n4, args.n):
+                # per-LEG gate: the quiet criterion is per-leg steal ≤1%, and
+                # the N leg is the longest (~13 min at local[4]) — launching
+                # it into an uncertified window wastes the whole pair. Every
+                # launched leg is still recorded, contaminated or not.
+                if args.quiet_gate is not None and cpus != args.n4:
+                    while time.monotonic() - t_start <= args.max_hours * 3600:
+                        g = _steal_probe(15)
+                        if g <= args.quiet_gate:
+                            break
+                        print(f"  steal probe {g:.2f}% > gate {args.quiet_gate}% — deferring {cpus}-leg", flush=True)
+                        time.sleep(60)
                 runs[cpus] += run_level(cpus, args.scale, args.wave_budget,
                                         args.max_waves, 1, args.no_images,
                                         args.image_px, args.shuffle_partitions)
