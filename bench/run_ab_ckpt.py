@@ -1,11 +1,12 @@
-"""Interleaved A/B for the round-4 checkpoint compilation change.
+"""Interleaved A/B for the round-4 checkpoint compilation experiment.
 
-A = CRAWLSPARK_CKPT_AQE=1 (pre-round-4: per-wave localCheckpoint(eager=False)
-    plans compiled under AQE, which materializes every non-final query stage
-    at compile time — a serial driver barrier per checkpoint call site)
-B = default (round 4: checkpoint plans compiled with AQE off, so the cut is
-    free at the call site and the work folds into the next wave's single
-    fused action)
+A = default (per-wave localCheckpoint(eager=False) plans compiled under AQE;
+    compile-time stage materialization feeds AQE's runtime re-planning)
+B = CRAWLSPARK_CKPT_STATIC=1 (the rejected experiment: checkpoint plans
+    compiled with AQE off so the cut is lazy at the call site)
+
+OUTCOME (2026-08-18, BENCH/ab_r4_ckpt.json): A won all 4 interleaved pairs
+at comparable steal%% (median B/A = 0.80) — the engine default stays A.
 
 Same protocol as the scaling harness: arms ALTERNATE in time (A,B,A,B,...)
 so external hypervisor bursts land on both, and each leg records whole-VM
@@ -59,9 +60,9 @@ def run_leg(cpus: int, ckpt_aqe: bool, scale: str, wave_budget: int,
     ]
     env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM="48g")
     if ckpt_aqe:
-        env["CRAWLSPARK_CKPT_AQE"] = "1"
+        env.pop("CRAWLSPARK_CKPT_STATIC", None)
     else:
-        env.pop("CRAWLSPARK_CKPT_AQE", None)
+        env["CRAWLSPARK_CKPT_STATIC"] = "1"
     n_host = os.cpu_count() or 1
     s0, t0 = _steal_jiffies(), time.monotonic()
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)

@@ -149,10 +149,11 @@ class CrawlEngine:
         self._seen_chain = 0
         self._n_seed_allowed = 0
         self._profile = os.environ.get("CRAWLSPARK_PROFILE") == "1"
-        # A/B escape hatch: "1" restores the pre-round-4 behavior of letting
-        # AQE compile (and therefore eagerly execute) the per-wave checkpoint
-        # plans — used only to measure the serial-barrier cost it reintroduces
-        self._ckpt_under_aqe = os.environ.get("CRAWLSPARK_CKPT_AQE") == "1"
+        # A/B escape hatch: "1" compiles the per-wave checkpoint plans with
+        # AQE disabled (the rejected round-4 experiment) — kept only so
+        # bench/run_ab_ckpt.py can re-measure it; the default (AQE-compiled)
+        # won the interleaved A/B 4/4 pairs (BENCH/ab_r4_ckpt.json, B/A=0.80)
+        self._ckpt_static = os.environ.get("CRAWLSPARK_CKPT_STATIC") == "1"
         self._t_last = 0.0
         self._seen_rows = 0  # driver-side running count (no extra actions)
         self.bloom = (
@@ -457,30 +458,32 @@ class CrawlEngine:
         wave's first real action instead of a dedicated driver round-trip —
         same computation, one fewer serial barrier per call site.
 
-        The checkpoint plan is compiled with AQE OFF (round 4): under AQE,
-        Dataset.localCheckpoint materializes every non-final query stage of
-        the plan at compile time even with eager=False — so each "lazy" cut
-        was really a serial driver barrier (measured 6-22 s/wave at
-        local[16], ~20-25%% of wave wall time; a 3M-row micro-repro shows
-        12.9 s vs 0.4 s for the same checkpoint AQE-on vs AQE-off). Compiled
-        statically, the cut is free at the call site and the computation
-        folds into the next wave's single fused action, whose independent
-        stages the DAG scheduler overlaps inside one job. The subtrees cut
-        here (explicit repartition by host_bucket/url_hash + in-partition
-        sort, unions over already-persisted frames) gain nothing from AQE's
-        runtime re-planning, so nothing is given up."""
+        The checkpoint plan is compiled UNDER AQE (the session default).
+        Round 4 trialled compiling it statically: under AQE,
+        Dataset.localCheckpoint materializes non-final query stages at
+        compile time even with eager=False (a 3M-row micro-repro shows
+        12.9 s vs 0.4 s per cut), so a static compile looked like a free
+        win. The full-loop interleaved A/B rejected it: the AQE-compiled
+        arm won all 4 pairs at comparable steal% (median B/A = 0.80,
+        BENCH/ab_r4_ckpt.json). The compile-time materialization is real
+        but NOT wasted — AQE uses the finished stages' runtime statistics
+        to re-plan the wave's downstream joins/aggregations, and losing
+        that (plus the checkpoint work no longer overlapping the wave
+        boundary) costs more than the per-cut barrier saves. Verdict:
+        keep AQE; CRAWLSPARK_CKPT_STATIC=1 preserves the losing arm for
+        re-measurement only."""
         if self.io:
             self.io.write_wave(df, table, wave)
             return self.io.read_wave(table, wave)
-        if self._ckpt_under_aqe:
-            return df.localCheckpoint(eager=False)
-        conf = self.spark.conf
-        prev = conf.get("spark.sql.adaptive.enabled", "true")
-        try:
-            conf.set("spark.sql.adaptive.enabled", "false")
-            return df.localCheckpoint(eager=False)
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
+        if self._ckpt_static:
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.adaptive.enabled", "true")
+            try:
+                conf.set("spark.sql.adaptive.enabled", "false")
+                return df.localCheckpoint(eager=False)
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev)
+        return df.localCheckpoint(eager=False)
 
     # ------------------------------------------------------------------ #
     def run(self, seeds: DataFrame, resume: bool = False) -> CrawlRun:
