@@ -224,12 +224,17 @@ LOSSLESS = {"ppm", "bmp", "png"}
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
-    # int16 diff then one float64 square: bit-identical to squaring the two
-    # float64 casts (uint8 diffs are exact in both), at half the DRAM traffic
-    d = a.astype(np.int16) - b.astype(np.int16)
-    mse = np.mean(np.square(d.astype(np.float64)))
-    if mse == 0:
+    # All-integer SSE: d fits int16, d² fits int32, the sum fits int64, and
+    # every partial is an exact integer < 2^53 — so ssq/n is the one float64
+    # rounding in the whole computation, bit-identical to the float64-square
+    # np.mean it replaces, at ~2.5× less DRAM traffic (the f64 temp alone was
+    # 8 B/px; this phase is memory-bandwidth-bound on the wide leg).
+    d = a.astype(np.int16)
+    np.subtract(d, b, out=d)
+    ssq = int(np.square(d, dtype=np.int32).sum(dtype=np.int64))
+    if ssq == 0:
         return PSNR_EXACT
+    mse = ssq / d.size
     return float(10.0 * np.log10(255.0**2 / mse))
 
 

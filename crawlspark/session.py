@@ -38,6 +38,22 @@ def get_spark(
         SparkContext._ensure_initialized()
         submit_preset = dict(SparkConf().getAll())
 
+    # Python UDF workers churn numpy temps of 150 KB–1 MB (image payloads);
+    # glibc's default 128 KB mmap threshold turns every one into an
+    # mmap+page-fault+munmap cycle, and the kernel's page zeroing doubles the
+    # write traffic of an already bandwidth-bound phase. Raising the threshold
+    # keeps those temps on the reusable heap: +38-40%% on the payload kernel at
+    # BOTH 4 and 16 workers (bench/kernel_scaling.py). glibc reads the env at
+    # process start, so set it before the gateway JVM (whose python daemons
+    # inherit it) exists; executorEnv carries the same setting to a real
+    # cluster's executors.
+    malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": str(256 * 1024 * 1024),
+        "MALLOC_TRIM_THRESHOLD_": str(256 * 1024 * 1024),
+    }
+    for k, v in malloc_env.items():
+        os.environ.setdefault(k, v)
+
     cores = os.cpu_count() or 8
     if master is None and "spark.master" in submit_preset:
         master = submit_preset["spark.master"]
@@ -64,6 +80,8 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     }
+    for k, v in malloc_env.items():
+        defaults[f"spark.executorEnv.{k}"] = v
     b = SparkSession.builder.master(master).appName(app_name)
     for k, v in defaults.items():
         # gap-fill only: a --conf from spark-submit wins over sandbox defaults
