@@ -48,13 +48,24 @@ def _steal_probe(sec: float) -> float:
 
 
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
-              no_images: bool, image_px: int, shuffle_partitions: int) -> list[dict]:
+              no_images: bool, image_px: int, shuffle_partitions: int,
+              pin: bool = False) -> list[dict]:
     import time
 
     n_host_cpus = os.cpu_count() or 1
     outs = []
     for rep in range(reps):
-        cmd = [
+        # --pin: confine the whole leg (driver, JVM, and the python UDF
+        # workers the JVM forks — affinity is inherited) to exactly `cpus`
+        # physical cores. Without this, local[N]'s python workers overflow
+        # onto the host's idle cores: a local[4] leg's payload stage was
+        # measured running ~1.5× faster than 4 dedicated workers can
+        # (kernel_scaling.py), i.e. the nominal-4-core level was borrowing
+        # 2-4 extra cores, deflating the N→4N ratio. A real N-core executor
+        # node runs its task threads AND its python workers on the same N
+        # cores, so the pinned legs are the faithful cluster model.
+        pin_prefix = ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
+        cmd = pin_prefix + [
             sys.executable, os.path.join(HERE, "run_crawl.py"),
             "--cpus", str(cpus), "--scale", scale,
             "--wave-budget", str(wave_budget), "--max-waves", str(max_waves),
@@ -110,6 +121,12 @@ def main():
     ap.add_argument("--quiet-target", type=int, default=3)
     ap.add_argument("--max-hours", type=float, default=3.0)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each leg to exactly its core count (JVM + "
+                         "python UDF workers share those cores, like a real "
+                         "N-core executor node) — without it local[N]'s "
+                         "python workers overflow onto idle host cores and "
+                         "the N leg gets >N cores of compute")
     ap.add_argument("--resume", action="store_true",
                     help="seed the interleaved collection from an existing "
                          "<out>.partial (pairs collected by a prior process "
@@ -175,7 +192,8 @@ def main():
                         time.sleep(60)
                 runs[cpus] += run_level(cpus, args.scale, args.wave_budget,
                                         args.max_waves, 1, args.no_images,
-                                        args.image_px, args.shuffle_partitions)
+                                        args.image_px, args.shuffle_partitions,
+                                        pin=args.pin)
             rep += 1
             with open(args.out + ".partial", "w") as f:
                 json.dump({"runs_n": runs[args.n], "runs_4n": runs[args.n4]}, f, indent=1)
@@ -203,7 +221,7 @@ def main():
         for cpus in (args.n, args.n4):
             outs = run_level(cpus, args.scale, args.wave_budget, args.max_waves,
                              args.reps, args.no_images, args.image_px,
-                             args.shuffle_partitions)
+                             args.shuffle_partitions, pin=args.pin)
             med = statistics.median(o["urls_per_sec"] for o in outs)
             levels[str(cpus)] = {
                 "median_urls_per_sec": med,
@@ -225,6 +243,7 @@ def main():
         "throughput_4n": t_4n,
         "scaling_efficiency": round(eff, 3),
         "interleaved": bool(args.interleave),
+        "pinned": bool(args.pin),
         "pair_efficiencies": pair_effs,
         "quiet_pair_efficiency": quiet_eff,
         "quiet_gate": args.quiet_gate,
