@@ -47,6 +47,35 @@ def _steal_probe(sec: float) -> float:
     return 100.0 * (s1 - s0) * 0.01 / (sec * n)
 
 
+BUSY_FLAG = "/tmp/crawlspark_host_busy"
+STATUS_FILE = "/tmp/crawlspark_scaling.status"
+
+
+def _set_status(state: str, cpus: int | None = None) -> None:
+    """Leg-in-flight marker for COOPERATIVE scheduling with other work on
+    this box. The steal counter only sees *hypervisor* neighbors; a pytest
+    run on this same guest contends for memory bandwidth with a pinned leg
+    without registering a single steal jiffy (the round-4 pair-2 anomaly).
+    So: other workloads on the guest touch BUSY_FLAG before heavy work and
+    poll this file to avoid launching while a leg is mid-flight; the
+    collector refuses to launch a leg while BUSY_FLAG exists."""
+    import time as _t
+
+    try:
+        with open(STATUS_FILE, "w") as f:
+            json.dump({"state": state, "cpus": cpus, "ts": _t.time()}, f)
+    except OSError:
+        pass
+
+
+def _wait_not_busy() -> None:
+    import time as _t
+
+    while os.path.exists(BUSY_FLAG):
+        print(f"  busy-flag {BUSY_FLAG} present — deferring leg", flush=True)
+        _t.sleep(30)
+
+
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
               no_images: bool, image_px: int, shuffle_partitions: int,
               pin: bool = False) -> list[dict]:
@@ -64,6 +93,8 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
         # 2-4 extra cores, deflating the N→4N ratio. A real N-core executor
         # node runs its task threads AND its python workers on the same N
         # cores, so the pinned legs are the faithful cluster model.
+        _wait_not_busy()
+        _set_status("leg_running", cpus)
         pin_prefix = ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
         cmd = pin_prefix + [
             sys.executable, os.path.join(HERE, "run_crawl.py"),
@@ -90,6 +121,7 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
         print(f"  cpus={cpus} rep={rep}: {d['urls_per_sec']} urls/s ({d['wall_sec']}s, "
               f"{d['waves']} waves, steal={d['steal_pct']}%)", flush=True)
         outs.append(d)
+        _set_status("idle")
     return outs
 
 
@@ -163,6 +195,10 @@ def main():
                 if time.monotonic() - t_start > args.max_hours * 3600:
                     print("  max-hours reached", flush=True)
                     break
+                if os.path.exists(BUSY_FLAG):
+                    print(f"  busy-flag present — deferring pair", flush=True)
+                    time.sleep(30)
+                    continue
                 g = _steal_probe(15)
                 if g > args.quiet_gate:
                     print(f"  steal probe {g:.2f}% > gate {args.quiet_gate}% — deferring", flush=True)
@@ -247,7 +283,7 @@ def main():
         "pair_efficiencies": pair_effs,
         "quiet_pair_efficiency": quiet_eff,
         "quiet_gate": args.quiet_gate,
-        "measured_round": 4,
+        "measured_round": 5,
         "levels": levels,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
