@@ -517,8 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_retired_contract.py)
     def embedding_neardup(spark, sf):
         # round 4: re-pointed from the all-pairs crossJoin oracle baseline to
-        # the bucketed scale path — sign-bit LSH home ∪ 1-bit-adjacent probe
-        # buckets, exact numpy cosine inside candidates, threshold on the
+        # the bucketed scale path — sign-bit LSH home ∪ ≤2-bit-adjacent probe
+        # buckets (probe_bits=2 since round 5, the recall fix),
+        # exact numpy cosine inside candidates, threshold on the
         # 6-dp-rounded value (both engines). The crossJoin variant survives
         # as the recall oracle in tests/test_datapipe_new.py only. Threshold
         # 0.3 sits inside the synthetic corpus's cosine range (max ≈ 0.44) so
@@ -1233,12 +1234,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
     """
 
-    # embedding_neardup (round 4): the bucketed twin of the Spark plan — the
-    # SAME 6-bit md5-derived sign signatures (projection rounded to 6 dp
-    # before the sign test), candidate pairs from home ∪ 1-bit-adjacent probe
-    # buckets, exact cosine thresholded on its 6-dp-rounded value. Each
+    # embedding_neardup (round 4; probes widened round 5): the bucketed twin
+    # of the Spark plan — the SAME 6-bit md5-derived sign signatures
+    # (projection rounded to 6 dp before the sign test), candidate pairs from
+    # home ∪ all ≤2-bit-adjacent probe buckets (probe_bits=2, the recall
+    # fix), exact cosine thresholded on its 6-dp-rounded value. Each
     # qualifying pair matches via exactly one probe (probe buckets of one
-    # vector are pairwise distinct), so no DISTINCT is needed.
+    # vector are pairwise distinct XOR masks), so no DISTINCT is needed.
+    _ND_MASKS = ", ".join(
+        str(m)
+        for m in [0]
+        + [1 << i for i in range(6)]
+        + [(1 << i) | (1 << j) for i in range(6) for j in range(i + 1, 6)]
+    )
     _HYPER_ND = _hash60_sql("CAST(bit AS VARCHAR) || '|' || CAST(j AS VARCHAR)")
     o["embedding_neardup"] = f"""
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1255,9 +1263,8 @@ def oracle_sql() -> dict[str, str]:
           FROM proj GROUP BY vec_id),
         sv AS (SELECT s.vec_id, s.bucket, v.e FROM sig s JOIN v USING (vec_id)),
         probes AS (
-          SELECT vec_id, e,
-                 CASE WHEN pb = -1 THEN bucket ELSE xor(bucket, (1::BIGINT << CAST(pb AS INT))) END AS pbucket
-          FROM sv, (SELECT unnest(range(-1, 6)) AS pb))
+          SELECT vec_id, e, xor(bucket, CAST(pm AS BIGINT)) AS pbucket
+          FROM sv, (SELECT unnest([{_ND_MASKS}]) AS pm))
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine

@@ -32,6 +32,9 @@ def _worker(wid: int, n_rows: int, px: int, q: Queue) -> None:
     acc = 0
     for i in range(n_rows):
         iid = f"img-{wid}-{i}"
+        # % 3 ⇒ ppm/bmp/qnt only (png decode is the slow path) — intentional
+        # mirror of fetch_validate_udf's format selector (image.py); changing
+        # it to % 4 would invalidate every recorded kernel baseline.
         fsel = hashlib.md5(iid.encode()).digest()[0] % 3
         fmt = fmts[fsel]
         ref = I.reference_pixels(iid, px, px)

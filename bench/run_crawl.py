@@ -42,13 +42,20 @@ SCALES = {
     # steady-state throughput, no discovery ramp
     "xsat": dict(n_hosts=256, total_pages=2_000_000, n_images=512, n_seeds=100_000,
                  host_budget=20000, hot_host_budget=10000),
+    # round-5 order-of-magnitude stress point (verdict item 4): 10× xsat's
+    # pages/seeds/budgets at the SAME host count, so per-host skew pressure
+    # grows 10× too. Crosses bloom_prefilter_min_seen (2M), so the bloom
+    # tier actually engages — xsat stays just under it.
+    "x10sat": dict(n_hosts=256, total_pages=20_000_000, n_images=512,
+                   n_seeds=1_000_000, host_budget=200_000,
+                   hot_host_budget=100_000),
 }
 
 
 def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
                     validate_images: bool = True, use_bloom: bool = True,
                     max_waves: int = 10, image_px: int = 64,
-                    payload: str = "synthetic") -> dict:
+                    payload: str = "synthetic", bloom_bits: int | None = None) -> dict:
     from crawlspark import synth
     from crawlspark.engine import CrawlConfig, CrawlEngine
 
@@ -70,6 +77,12 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
         if not validate_images or payload == "synthetic":
             images = None
 
+    cfg_kw = {}
+    if bloom_bits is not None:
+        # bloom bits must scale with the corpus (≈10 bits/key/partition);
+        # the default 1<<20 saturates past ~3M keys — the x10sat stress run
+        # passes 1<<24 (16 × 2 MB driver-held bitsets for 20M keys)
+        cfg_kw["bloom_bits"] = bloom_bits
     cfg = CrawlConfig(
         wave_budget=wave_budget,
         validate_images=validate_images,
@@ -77,6 +90,7 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
         max_waves=max_waves,
         payload_mode=payload if scale != "small" else "table",
         payload_px=image_px,
+        **cfg_kw,
     )
     eng = CrawlEngine(spark, pages, robots, budgets, images, cfg)
     # force fixture materialization outside the timed region
@@ -95,7 +109,23 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
     sched = sum(m["scheduled"] for m in run.metrics)
     new = sum(m["new_urls"] for m in run.metrics)
     dedup = sum(m["deduped"] for m in run.metrics)
+    # driver-held seen-tier footprint (the only engine state that lives on
+    # the driver and grows with corpus size — the stress artifact tracks it)
+    bloom_mb = fill = None
+    if eng.bloom is not None:
+        import numpy as np
+
+        bloom_mb = round(
+            sum(b.nbytes for b in eng.bloom.bitsets.values()) / 1e6, 2
+        )
+        if getattr(eng, "_bloom_synced", False):
+            fill = round(
+                float(np.unpackbits(eng.bloom.bitsets[0]).mean()), 4
+            )
     return {
+        "bloom_tier_mb": bloom_mb,
+        "bloom_fill_p0": fill,  # bit-set ratio of partition 0 (None = tier deferred)
+        "seen_rows": eng._seen_rows,
         "wall_sec": round(wall, 3),
         "waves": run.waves,
         "scheduled": sched,
@@ -124,6 +154,12 @@ def main():
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--conf", action="append", default=[],
                     help="extra spark conf k=v (repeatable), for A/B probes")
+    ap.add_argument("--bloom-bits", type=int, default=None,
+                    help="override CrawlConfig.bloom_bits (size to ~10 "
+                         "bits/key/partition at the target corpus)")
+    ap.add_argument("--stress", action="store_true",
+                    help="record driver-side peak RSS (python + gateway JVM) "
+                         "in the artifact — for the 10× stress run")
     args = ap.parse_args()
 
     from crawlspark.session import get_spark
@@ -138,11 +174,36 @@ def main():
             spark, args.scale, args.wave_budget,
             validate_images=not args.no_images, max_waves=args.max_waves,
             image_px=args.image_px, payload=args.payload,
+            bloom_bits=args.bloom_bits,
         )
         for _ in range(args.reps)
     ]
     best = sorted(outs, key=lambda o: o["wall_sec"])[len(outs) // 2]  # median
     best["master"] = spark.sparkContext.master
+    if args.stress:
+        import resource
+
+        # driver python peak RSS (ru_maxrss is KiB on linux) + the gateway
+        # JVM's high-water mark — together, the whole driver-side footprint
+        best["driver_py_peak_rss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        )
+        jvm_hwm = None
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() != "java":
+                        continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmHWM:"):
+                            kb = int(line.split()[1])
+                            jvm_hwm = max(jvm_hwm or 0, kb // 1024)
+            except OSError:
+                continue
+        best["jvm_peak_rss_mb"] = jvm_hwm
     print(json.dumps(best))
 
 

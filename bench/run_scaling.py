@@ -76,6 +76,33 @@ def _wait_not_busy() -> None:
         _t.sleep(30)
 
 
+def _bw_probe_mbps(n_mb: int = 128, reps: int = 3) -> float:
+    """Single-thread DRAM-bandwidth probe (~1.5 s): median MB/s of copying an
+    n_mb buffer. Round 4's one anomaly — a 0.62%-steal 16-leg that ran 22%
+    slow — was attributed to 'neighbor memory-bandwidth pressure the steal
+    counter cannot see', which the round-4 verdict rightly called
+    unfalsifiable as stated. This probe makes it measurable: each leg records
+    the probe BEFORE and AFTER it ran, so a quiet-steal-but-slow leg either
+    shows depressed bandwidth in the artifact or loses the excuse. A single
+    thread can't saturate the socket, but neighbor pressure depresses even
+    single-stream copy throughput (shared LLC + memory controller), which is
+    all the diagnostic needs."""
+    import time
+
+    import numpy as np
+
+    src = np.ones(n_mb * 131072, dtype=np.float64)  # n_mb MB of 8-byte lanes
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm-up: page-fault dst once, off the clock
+    rates = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        np.copyto(dst, src)
+        dt = time.monotonic() - t0
+        rates.append(2 * n_mb / dt)  # read + write traffic
+    return round(statistics.median(rates), 1)
+
+
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
               no_images: bool, image_px: int, shuffle_partitions: int,
               pin: bool = False) -> list[dict]:
@@ -108,9 +135,11 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
         if no_images:
             cmd.append("--no-images")
         env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM="48g")
+        bw0 = _bw_probe_mbps()
         s0, t0 = _steal_jiffies(), time.monotonic()
         res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
         s1, t1 = _steal_jiffies(), time.monotonic()
+        bw1 = _bw_probe_mbps()
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
         if not line:
             raise RuntimeError(f"rep {rep} cpus={cpus} produced no JSON:\n{res.stderr[-2000:]}")
@@ -118,8 +147,9 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
         d.pop("per_wave", None)
         # jiffies are 10ms ticks; normalize over the whole-VM core count
         d["steal_pct"] = round(100.0 * (s1 - s0) * 0.01 / ((t1 - t0) * n_host_cpus), 2)
+        d["bw_probe_mbps"] = [bw0, bw1]
         print(f"  cpus={cpus} rep={rep}: {d['urls_per_sec']} urls/s ({d['wall_sec']}s, "
-              f"{d['waves']} waves, steal={d['steal_pct']}%)", flush=True)
+              f"{d['waves']} waves, steal={d['steal_pct']}%, bw={bw0}/{bw1} MB/s)", flush=True)
         outs.append(d)
         _set_status("idle")
     return outs

@@ -229,6 +229,11 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     # rounding in the whole computation, bit-identical to the float64-square
     # np.mean it replaces, at ~2.5× less DRAM traffic (the f64 temp alone was
     # 8 B/px; this phase is memory-bandwidth-bound on the wide leg).
+    # uint8-input contract: the in-place int16 subtract would silently wrap
+    # for uint16 inputs and raise an opaque UFuncTypeError for float/int32 —
+    # fail loudly instead (all internal callers pass decoded uint8 pixels).
+    if a.dtype != np.uint8 or b.dtype != np.uint8:
+        raise TypeError(f"psnr_db expects uint8 arrays, got {a.dtype}/{b.dtype}")
     d = a.astype(np.int16)
     np.subtract(d, b, out=d)
     ssq = int(np.square(d, dtype=np.int32).sum(dtype=np.int64))

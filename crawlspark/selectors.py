@@ -6,12 +6,20 @@ document (`adapters/parsers/goqueryparser/goquery.go:17-24`, used as
 collect_job.go:28-69` and `product.go:33-81`). This module gives the Spark
 engine the same surface for the constrained synthetic HTML:
 
-Grammar (the subset those call sites use):
-  * simple selectors: ``tag``, ``.class``, ``tag.class``, ``tag.c1.c2``
+Grammar (the subset those call sites use, plus the common goquery idioms
+beyond it — round 5 added ``#id``, ``[attr]``, ``[attr=val]`` and ``*``):
+  * simple selectors: ``tag``, ``*``, ``.class``, ``#id``, ``[attr]``,
+    ``[attr=val]`` / ``[attr="val"]`` / ``[attr='val']``, and any
+    conjunction of those qualifiers on one compound, e.g.
+    ``a.btn#buy[rel=nofollow]``
   * combinators: descendant (whitespace) and direct child (``>``)
   * a terminal extraction pseudo: ``::text`` (default — all descendant text
     in document order, goquery ``.Text()``), or ``::attr(name)``
     (goquery ``.Attr(name)``; nodes without the attribute are skipped)
+
+Still unsupported (clear ValueError, never a silent mis-match): sibling
+combinators (``+``/``~``), ``:nth-child``-family pseudo-classes, and
+non-equality attribute operators (``^=``, ``$=``, ``*=``, ``~=``).
 
 Matches come back in document order, like ``Find().Each``.
 
@@ -53,8 +61,38 @@ _IMPLIED_CLOSE = {
     "option": frozenset({"option"}),
 }
 
-_COMB_RE = re.compile(r"\s*>\s*|\s+")
-_SIMPLE_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9-]*)?((?:\.[\w-]+)*)$")
+_SIMPLE_RE = re.compile(
+    r"^([a-zA-Z][a-zA-Z0-9-]*|\*)?((?:\.[\w-]+|#[\w-]+|\[[^\]]+\])*)$"
+)
+_QUAL_RE = re.compile(r"\.[\w-]+|#[\w-]+|\[[^\]]+\]")
+_ATTR_RE = re.compile(r"^\[\s*([\w-]+)\s*(?:=\s*(.*?)\s*)?\]$")
+
+
+def _split_compounds(sel: str) -> list[tuple[str, str]]:
+    """Split a selector into (combinator, compound) pairs, bracket-aware so
+    ``a[title="next page"]`` keeps its quoted space. comb ∈ {' ', '>'};
+    the first compound's comb is ' '."""
+    out: list[tuple[str, str]] = []
+    buf: list[str] = []
+    comb, depth = " ", 0
+    for ch in sel:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(depth - 1, 0)
+        if depth == 0 and ch in (" ", "\t", ">"):
+            if buf:
+                out.append((comb, "".join(buf)))
+                buf, comb = [], " "
+            if ch == ">":
+                comb = ">"
+            continue
+        buf.append(ch)
+    if buf:
+        out.append((comb, "".join(buf)))
+    elif comb == ">":
+        raise ValueError(f"selector ends with a dangling '>': {sel!r}")
+    return out
 
 
 class _Node:
@@ -107,9 +145,10 @@ def _parse_html(text: str) -> _Node:
 
 
 def compile_selector(selector: str):
-    """selector → (parts, extract) where parts = [(comb, tag, classes), ...]
-    (comb ∈ {' ', '>'}, first part's comb is ' ') and extract is ('text',)
-    or ('attr', name)."""
+    """selector → (parts, extract) where parts =
+    [(comb, tag, classes, attr_conds), ...] (comb ∈ {' ', '>'}, first part's
+    comb is ' '; attr_conds = tuple of (name, value_or_None) — None means
+    presence-only) and extract is ('text',) or ('attr', name)."""
     sel, _, pseudo = selector.partition("::")
     if not pseudo or pseudo == "text":
         extract = ("text",)
@@ -120,32 +159,52 @@ def compile_selector(selector: str):
     sel = sel.strip()
     if not sel:
         raise ValueError("empty selector")
-    parts: list[tuple[str, str, frozenset]] = []
-    pos, comb = 0, " "
-    for m in _COMB_RE.finditer(sel):
-        parts.append((comb, *_simple(sel[pos:m.start()])))
-        comb = ">" if ">" in m.group(0) else " "
-        pos = m.end()
-    parts.append((comb, *_simple(sel[pos:])))
+    parts = [(comb, *_simple(tok)) for comb, tok in _split_compounds(sel)]
+    if not parts:
+        raise ValueError("empty selector")
     return parts, extract
 
 
-def _simple(token: str) -> tuple[str, frozenset]:
+def _simple(token: str) -> tuple[str, frozenset, tuple]:
     m = _SIMPLE_RE.match(token)
     if not m or (not m.group(1) and not m.group(2)):
         raise ValueError(f"unsupported simple selector {token!r}")
     tag = (m.group(1) or "").lower()
-    classes = frozenset(c for c in m.group(2).split(".") if c)
-    return tag, classes
+    if tag == "*":
+        tag = ""
+    classes: set[str] = set()
+    conds: list[tuple[str, str | None]] = []
+    for qual in _QUAL_RE.findall(m.group(2)):
+        if qual.startswith("."):
+            classes.add(qual[1:])
+        elif qual.startswith("#"):
+            conds.append(("id", qual[1:]))
+        else:
+            am = _ATTR_RE.match(qual)
+            if not am:
+                # covers the non-equality operators too: ^= $= *= ~= |=
+                # all fail the name-then-'=' shape and land here
+                raise ValueError(f"unsupported attribute selector {qual!r}")
+            name, val = am.group(1).lower(), am.group(2)
+            if val is not None and len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+                val = val[1:-1]
+            conds.append((name, val))
+    return tag, frozenset(classes), tuple(conds)
 
 
-def _matches(node: _Node, tag: str, classes: frozenset) -> bool:
-    return bool(node.tag) and (not tag or node.tag == tag) and classes <= node.classes
+def _matches(node: _Node, tag: str, classes: frozenset, conds: tuple) -> bool:
+    if not node.tag or (tag and node.tag != tag) or not classes <= node.classes:
+        return False
+    for name, val in conds:
+        have = node.attrs.get(name)
+        if have is None or (val is not None and have != val):
+            return False
+    return True
 
 
 def _path_match(node: _Node, parts, i: int) -> bool:
     # right-to-left: node must match parts[i] with the left chain satisfied
-    if not _matches(node, parts[i][1], parts[i][2]):
+    if not _matches(node, parts[i][1], parts[i][2], parts[i][3]):
         return False
     if i == 0:
         return True

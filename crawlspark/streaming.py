@@ -77,8 +77,76 @@ def politeness_stream(jobs_stream: DataFrame, budget_per_host: int) -> DataFrame
     )
 
 
+def _admit_host_group(
+    chunks,  # iterable of pandas DataFrames (drained incrementally)
+    last_w: int,
+    used: int,
+    budget_per_host: int,
+    window_col: str,
+    max_buffer_rows: int,
+    host_key=None,
+):
+    """Admission core for politeness_stream_windowed, factored out so the
+    memory bound is directly unit-testable without a streaming query.
+
+    Exact (priority, seq) admission needs the host's whole micro-batch
+    sorted before the prefix count — a later Arrow chunk can carry a
+    smaller (priority, seq) that displaces an earlier row — so the group
+    buffers its chunks. That buffer is the operator's ONLY unbounded
+    memory, and a 100×-skewed host would otherwise OOM the executor
+    silently mid-concat. `max_buffer_rows` turns that into a loud,
+    actionable failure instead (see politeness_stream_windowed's docstring
+    for the operational bound and the skew remediation).
+
+    Returns (out_pdf_or_None, (last_w, used))."""
+    import numpy as np
+
+    # drain the chunk iterator INCREMENTALLY so the bound trips before the
+    # buffer is fully materialized — checking after a full drain would OOM
+    # first and assert second
+    buffered: list = []
+    n_buffered = 0
+    for c in chunks:
+        if not len(c):
+            continue
+        n_buffered += len(c)
+        if n_buffered > max_buffer_rows:
+            raise RuntimeError(
+                f"politeness_stream_windowed: host group {host_key!r} has "
+                f"more than max_buffer_rows={max_buffer_rows} rows in one "
+                f"micro-batch. A host this hot will OOM the executor if "
+                f"buffered; shrink the per-trigger slice "
+                f"(maxFilesPerTrigger / maxOffsetsPerTrigger), raise "
+                f"max_buffer_rows if the executor has headroom, or pre-cap "
+                f"the host upstream (the batch engine's admit_with_budget "
+                f"rank prunes to the budget before any buffering)."
+            )
+        buffered.append(c)
+    chunks = buffered
+    if not chunks:
+        return None, (last_w, used)
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        .sort_values([window_col, "priority", "seq"])
+        .reset_index(drop=True)
+    )
+    admitted = np.zeros(len(pdf), dtype=bool)
+    i = 0
+    for w, grp in pdf.groupby(window_col, sort=True):
+        if int(w) != last_w:
+            last_w, used = int(w), 0
+        adm = used + np.arange(len(grp)) < budget_per_host
+        admitted[i : i + len(grp)] = adm
+        used += int(adm.sum())
+        i += len(grp)
+    return pdf.assign(admitted=admitted), (last_w, used)
+
+
 def politeness_stream_windowed(
-    jobs_stream: DataFrame, budget_per_host: int, window_col: str = "wave"
+    jobs_stream: DataFrame,
+    budget_per_host: int,
+    window_col: str = "wave",
+    max_buffer_rows: int = 4_000_000,
 ) -> DataFrame:
     """Per-window per-host budget — the exact streaming twin of the batch
     engine's politeness (budgets.max_per_wave resets every wave, engine.py
@@ -91,12 +159,18 @@ def politeness_stream_windowed(
     maxFilesPerTrigger=1 + availableNow). The chunk iterator is CONCATENATED
     before the (window, priority, seq) sort — Arrow splits a host group
     bigger than maxRecordsPerBatch into several pdfs, and a per-chunk sort
-    would admit out of global order (round-3 advice); the concat bounds
-    memory at one host's micro-batch, the bound the stateful group already
-    implies. Admission inside each window is a vectorized prefix count, the
-    same zero-loop shape as admit_with_budget."""
-    import numpy as np
+    would admit out of global order (round-3 advice). Admission inside each
+    window is a vectorized prefix count, the same zero-loop shape as
+    admit_with_budget.
 
+    Memory bound (round 5, enforced): the concat buffers ONE HOST's
+    micro-batch, the operator's only memory that grows with input skew.
+    `max_buffer_rows` (default 4M rows ≈ a few hundred MB at typical job-row
+    width) converts a 100×-skewed host from a silent executor OOM into a
+    RuntimeError naming the host and the three remediations: shrink the
+    per-trigger slice, raise the bound on big-memory executors, or pre-cap
+    the hot host upstream. Every other per-host state is O(1) (two ints).
+    """
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in jobs_stream.schema.fields)
         + ", admitted boolean"
@@ -104,24 +178,13 @@ def politeness_stream_windowed(
 
     def fn(key, pdfs, state: GroupState):
         last_w, used = state.get if state.exists else (-1, 0)
-        chunks = [c for c in pdfs if len(c)]
-        if chunks:
-            pdf = (
-                pd.concat(chunks, ignore_index=True)
-                .sort_values([window_col, "priority", "seq"])
-                .reset_index(drop=True)
-            )
-            admitted = np.zeros(len(pdf), dtype=bool)
-            i = 0
-            for w, grp in pdf.groupby(window_col, sort=True):
-                if int(w) != last_w:
-                    last_w, used = int(w), 0
-                adm = used + np.arange(len(grp)) < budget_per_host
-                admitted[i : i + len(grp)] = adm
-                used += int(adm.sum())
-                i += len(grp)
-            yield pdf.assign(admitted=admitted)
-        state.update((last_w, used))
+        out, new_state = _admit_host_group(
+            pdfs, last_w, used, budget_per_host, window_col,
+            max_buffer_rows, host_key=key,
+        )
+        if out is not None:
+            yield out
+        state.update(new_state)
 
     return jobs_stream.groupBy("host").applyInPandasWithState(
         fn,

@@ -43,8 +43,9 @@ SPECS = {
             ChildRule("/page/", "collect"),
         ),
         link_selectors=(
-            "article.product_pod > div.image_container > a::attr(href)",
-            "li.next > a::attr(href)",
+            # [href] (round-5 grammar) guards bare <a> anchors, same matches
+            "article.product_pod > div.image_container > a[href]::attr(href)",
+            "li.next > a[href]::attr(href)",
         ),
     ),
     "detail": JobTypeSpec("detail", emit_result=True, child_rules=()),
@@ -88,10 +89,15 @@ def _detail_html(i: int) -> str:
             ("Number of reviews", str(i % 4)),
         )
     )
+    # the real product page wraps the article in <div id="content_inner">
+    # (books.toscrape.com markup) — kept here so the parse twin can anchor
+    # on #id, exercising the round-5 selector grammar end-to-end
     return (
-        f'<html><body><div class="product_main"><h1>Book {i}</h1>'
+        f'<html><body><div id="content_inner"><div class="product_main">'
+        f"<h1>Book {i}</h1>"
         f'<p class="price_color">£{10 + i % 7}.{i % 100:02d}</p></div>'
-        f'<table class="table-striped"><tbody>{rows}</tbody></table></body></html>'
+        f'<table class="table-striped"><tbody>{rows}</tbody></table>'
+        f"</div></body></html>"
     )
 
 
@@ -132,10 +138,11 @@ def parse_products(spark, world: synth.World):
     pages = synth.pages_df(spark, world).filter(F.col("url").contains("/catalogue/"))
     body = F.col("body_html")
     first = lambda sel: F.element_at(SEL.css_select_udf(sel)(body), 1)  # noqa: E731
-    price_txt = first("div.product_main > p.price_color")
+    # #content_inner anchors on the real page's id wrapper (round-5 grammar)
+    price_txt = first("#content_inner div.product_main > p.price_color")
     kv = F.map_from_arrays(
-        SEL.css_select_udf("table.table-striped th")(body),
-        SEL.css_select_udf("table.table-striped td")(body),
+        SEL.css_select_udf("#content_inner table.table-striped th")(body),
+        SEL.css_select_udf("#content_inner table.table-striped td")(body),
     )
     avail_n = F.coalesce(
         F.regexp_extract(kv["Availability"], r"In stock \((\d+) available\)", 1)

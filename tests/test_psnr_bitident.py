@@ -54,3 +54,17 @@ def test_exact_sentinel():
     off = ref.copy()
     off[0, 0, 0] ^= 1  # single LSB flip must NOT read as exact
     assert I.psnr_db(off, ref) != I.PSNR_EXACT
+
+
+def test_uint8_contract_rejects_other_dtypes():
+    # round-5 ADVICE: the in-place int16 subtract would silently WRAP for
+    # uint16 inputs and raise an opaque UFuncTypeError for float/int32 —
+    # the contract check turns both into a clear TypeError up front
+    import pytest
+
+    ref = I.reference_pixels("dtype", 16, 16)
+    for bad in (ref.astype(np.uint16), ref.astype(np.int32), ref.astype(np.float64)):
+        with pytest.raises(TypeError, match="uint8"):
+            I.psnr_db(bad, ref)
+        with pytest.raises(TypeError, match="uint8"):
+            I.psnr_db(ref, bad)

@@ -89,11 +89,49 @@ class TestGrammar:
 
     def test_bad_selector_raises(self):
         with pytest.raises(ValueError):
-            SEL.compile_selector("a[href]")  # attribute selectors unsupported
-        with pytest.raises(ValueError):
             SEL.compile_selector("")
         with pytest.raises(ValueError):
             SEL.compile_selector("a::first-child")
+
+    # ---- round-5 grammar additions: #id, [attr], [attr=val], * ----
+
+    ID_DOC = """
+    <div id="main" class="wrap">
+      <ul class="nav"><li><a href="/a" rel="next" title="next page">A</a></li>
+      <li><a href="/b">B</a></li></ul>
+      <div id="footer"><a href="/c" data-k="v">C</a><a name="x">D</a></div>
+    </div>"""
+
+    def test_id_selector(self):
+        assert SEL.select_css(self.ID_DOC, "#footer a::attr(href)") == ["/c"]
+        assert SEL.select_css(self.ID_DOC, "div#main .nav a::attr(href)") == [
+            "/a",
+            "/b",
+        ]
+
+    def test_attr_presence(self):
+        # [href] filters out the name-only anchor
+        assert SEL.select_css(self.ID_DOC, "#footer a[href]::text") == ["C"]
+
+    def test_attr_equality(self):
+        assert SEL.select_css(self.ID_DOC, "a[rel=next]::attr(href)") == ["/a"]
+        assert SEL.select_css(self.ID_DOC, "a[rel=prev]::attr(href)") == []
+
+    def test_attr_quoted_value_with_space(self):
+        # bracket-aware tokenization: the quoted space is not a combinator
+        assert SEL.select_css(self.ID_DOC, 'a[title="next page"]::text') == ["A"]
+        assert SEL.select_css(self.ID_DOC, "a[data-k='v']::attr(href)") == ["/c"]
+
+    def test_universal_with_qualifier(self):
+        assert SEL.select_css(self.ID_DOC, "*[id]::attr(id)") == ["main", "footer"]
+
+    def test_compound_qualifiers(self):
+        assert SEL.select_css(self.ID_DOC, "div.wrap#main > div#footer a[href]::text") == ["C"]
+
+    def test_unsupported_operators_still_raise(self):
+        for bad in ('a[href^="/"]', "a[rel~=next]", "a + b", "li ~ p", "a >"):
+            with pytest.raises(ValueError):
+                SEL.compile_selector(bad)
 
 
 class TestForgivingParse:

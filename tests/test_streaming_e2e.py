@@ -339,3 +339,85 @@ def test_admission_rate_watermark_closes_windows(spark, tmp_path):
     }
     # 10:00 counts 3 (late seq=5 excluded), first_seq pins FIFO provenance
     assert got == {0: (3, 1), 5: (1, 4), 10: (1, 6)}
+
+
+# ---------------------------------------------------------------------------
+# round 5 (verdict item 7): the politeness buffer bound, unit-tested against
+# the factored admission core — no streaming query needed, so the failure
+# mode (and that the bound trips BEFORE the buffer materializes) is pinned
+# directly.
+# ---------------------------------------------------------------------------
+
+
+def _mk_chunk(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["host", "wave", "priority", "seq"])
+
+
+def test_admit_host_group_multichunk_matches_single_concat():
+    import pandas as pd
+
+    from crawlspark.streaming import _admit_host_group
+
+    # unsorted across chunks: the later chunk carries a smaller (priority,
+    # seq) that must displace earlier rows inside the budget
+    c1 = _mk_chunk([("h", 1, 1, 10), ("h", 1, 0, 9), ("h", 2, 0, 20)])
+    c2 = _mk_chunk([("h", 1, 0, 1), ("h", 2, 0, 2), ("h", 1, 0, 2)])
+    out_split, st_split = _admit_host_group(
+        iter([c1, c2]), -1, 0, 2, "wave", 10_000, host_key=("h",)
+    )
+    out_one, st_one = _admit_host_group(
+        iter([pd.concat([c1, c2], ignore_index=True)]), -1, 0, 2, "wave",
+        10_000, host_key=("h",),
+    )
+    assert st_split == st_one
+    assert out_split.values.tolist() == out_one.values.tolist()
+    got = {(r.wave, r.seq): r.admitted for r in out_split.itertuples()}
+    # wave 1 budget 2 -> seq 1 and 2 admitted, 9 and 10 rejected
+    assert got == {
+        (1, 1): True, (1, 2): True, (1, 9): False, (1, 10): False,
+        (2, 2): True, (2, 20): True,
+    }
+    # state carries (last_window, used) forward
+    assert st_split == (2, 2)
+
+
+def test_admit_host_group_used_carry_across_microbatches():
+    from crawlspark.streaming import _admit_host_group
+
+    # same window split across micro-batches: `used` continues the count
+    out, st = _admit_host_group(
+        iter([_mk_chunk([("h", 3, 0, 1)])]), 3, 1, 2, "wave", 100, host_key=("h",)
+    )
+    assert out.admitted.tolist() == [True] and st == (3, 2)
+    out2, st2 = _admit_host_group(
+        iter([_mk_chunk([("h", 3, 0, 2)])]), *st, 2, "wave", 100, host_key=("h",)
+    )
+    assert out2.admitted.tolist() == [False] and st2 == (3, 2)
+
+
+def test_admit_host_group_buffer_bound_trips_early():
+    import pytest
+
+    from crawlspark.streaming import _admit_host_group
+
+    drained = []
+
+    def chunks():
+        for i in range(10):
+            drained.append(i)
+            yield _mk_chunk([("h", 1, 0, 10 * i + j) for j in range(5)])
+
+    with pytest.raises(RuntimeError, match="max_buffer_rows"):
+        _admit_host_group(chunks(), -1, 0, 2, "wave", 12, host_key=("h",))
+    # 5 + 5 rows pass, the 3rd chunk (15 > 12) trips the bound and the
+    # remaining 7 chunks are never pulled off the Arrow iterator
+    assert drained == [0, 1, 2]
+
+
+def test_admit_host_group_empty_iterator_keeps_state():
+    from crawlspark.streaming import _admit_host_group
+
+    out, st = _admit_host_group(iter([]), 7, 1, 2, "wave", 10, host_key=("h",))
+    assert out is None and st == (7, 1)
