@@ -63,6 +63,11 @@ def run_leg(cpus: int, ckpt_aqe: bool, scale: str, wave_budget: int,
         env.pop("CRAWLSPARK_CKPT_STATIC", None)
     else:
         env["CRAWLSPARK_CKPT_STATIC"] = "1"
+    # cooperative gate shared with bench/run_scaling.py: same-guest workloads
+    # contend for memory bandwidth without registering a steal jiffy
+    while os.path.exists("/tmp/crawlspark_host_busy"):
+        print("  busy-flag present — deferring leg", flush=True)
+        time.sleep(30)
     n_host = os.cpu_count() or 1
     s0, t0 = _steal_jiffies(), time.monotonic()
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
