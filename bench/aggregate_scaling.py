@@ -141,7 +141,14 @@ _FUSED_SOURCES = ("scaling_r4_fused.json", "scaling_r4_quiet.json",
 
 def main() -> None:
     pairs: list[dict] = []
-    for path in sorted(glob.glob(os.path.join(BENCH, "scaling_r4_*.json*"))):
+    # the official artifact (8-wave pairs, rounds 4-5) + every r4 probe run.
+    # scaling_r5_16wave.json is deliberately EXCLUDED: efficiency is a
+    # function of problem size, so 16-wave pairs must not pool with 8-wave
+    # ones (it is analyzed separately in BENCH/BASELINE.md §2f).
+    sources = [os.path.join(BENCH, "scaling.json")] + sorted(
+        glob.glob(os.path.join(BENCH, "scaling_r4_*.json*"))
+    )
+    for path in sources:
         if path.endswith(".partial"):
             # skip if the finished artifact exists (same pairs, final shape)
             if os.path.exists(path[: -len(".partial")]):
