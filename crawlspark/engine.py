@@ -192,7 +192,18 @@ class CrawlEngine:
     def _tick(self, label: str, wave: int) -> None:
         if self._profile:
             now = time.monotonic()
-            print(f"[profile] wave={wave} {label}: {now - self._t_last:.2f}s", flush=True)
+            st = self.spark.sparkContext.statusTracker()
+            jobs = st.getJobIdsForGroup(f"wave-{wave}")
+            n_stages = 0
+            for j in jobs:
+                ji = st.getJobInfo(j)
+                if ji is not None:
+                    n_stages += len(ji.stageIds)
+            print(
+                f"[profile] wave={wave} {label}: {now - self._t_last:.2f}s "
+                f"(cum jobs={len(jobs)} stages={n_stages})",
+                flush=True,
+            )
             self._t_last = now
 
     # ------------------------------------------------------------------ #
@@ -553,6 +564,9 @@ class CrawlEngine:
             wave_ts = wave * cfg.wave_period_us
             wt0 = time.monotonic()
             self._t_last = wt0
+            # tag the wave's jobs (UI debuggability; also lets the profile
+            # mode count scheduler round-trips per wave via statusTracker)
+            spark.sparkContext.setJobGroup(f"wave-{wave}", f"crawl wave {wave}")
 
             # F-5 init phase: while any init job is pending, ONLY init jobs
             # are eligible — the BFS-to-exhaustion-before-workers semantics
