@@ -339,9 +339,30 @@ class CrawlEngine:
         fresh = F.col("_first") & ~F.col("_seen")
         admit = fresh & ~F.col("_blocked")
         order = (F.col("parent_rank"), F.col("link_pos"))
+        # Order-preserving bucket computed FROM THE DATA instead of
+        # repartitionByRange: parent_rank is the wave-selection rank, dense in
+        # [1, n_sched] with n_sched <= wave_budget, so equal slices of the
+        # rank space are balanced whenever the wave is budget-bound (the
+        # design point) and trivially small otherwise. Buckets are monotone
+        # in (parent_rank, link_pos) — every key in bucket b sorts before
+        # every key in b+1 — so per-bucket running counts + driver-side
+        # cumulative offsets in bucket order give the identical global seq
+        # assignment. vs the range version this removes, per wave: the
+        # hidden range-bounds SAMPLING JOB over cand, and the SECOND full
+        # exchange (Window required hashpartitioning(_pid) on top of
+        # rangepartitioning) — the window and the stats aggregate now both
+        # ride the one explicit hash exchange. Also strictly deterministic
+        # under stage retry (range bounds re-sampled on retry could shift
+        # partition ids; the bucket is a pure row function).
+        nb = self._n_shuffle
+        rank_cap = max(1, int(self.cfg.wave_budget))
+        bucket = F.least(
+            ((F.col("parent_rank") - F.lit(1)) * F.lit(nb) / F.lit(rank_cap)).cast("int"),
+            F.lit(nb - 1),
+        )
         parted = (
-            cand.repartitionByRange(self._n_shuffle, *order)
-            .withColumn("_pid", F.spark_partition_id())
+            cand.withColumn("_pid", bucket)
+            .repartition(nb, "_pid")
             .withColumn("_fresh", fresh)
             .withColumn("_admit", admit)
             .withColumn(
