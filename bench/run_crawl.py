@@ -101,9 +101,15 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
     run = eng.run(seeds)
     # noop sink: forces FULL result materialization including the image
     # validation UDF columns (a bare count() would let Catalyst prune the
-    # validation away — measured once, embarrassingly)
-    run.results.write.format("noop").mode("overwrite").save()
-    n_results = run.results.count()
+    # validation away — measured once, embarrassingly). Persist first: the
+    # count() then reads the cache instead of re-planning and re-scanning
+    # the whole per-wave union a second time (event-log profile: the two
+    # passes together were 137 AQE stage-jobs with ~120 s of scheduling
+    # dead time at tiny budget — pure serial floor, paid once now).
+    spark.sparkContext.setJobGroup("teardown", "end-of-run output materialization")
+    results = run.results.persist()
+    results.write.format("noop").mode("overwrite").save()
+    n_results = results.count()
     wall = time.monotonic() - t0
 
     sched = sum(m["scheduled"] for m in run.metrics)

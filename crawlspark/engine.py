@@ -130,13 +130,32 @@ class CrawlEngine:
         table_io: TableIO | None = None,
     ):
         self.spark = spark
+        self._n_shuffle_init = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # C-2: cache-first fetch — hits skip the fetch join but still flow
-        # through parse/process/expansion (scrapemate.go:345-375)
-        self.response_cache = response_cache.persist() if response_cache is not None else None
+        # through parse/process/expansion (scrapemate.go:345-375).
+        # Stored pre-partitioned AND pre-sorted on its join key: the cached
+        # plan's layout survives persist (InMemoryTableScan reports it), so
+        # the per-wave cache join does ZERO work on this side — no exchange,
+        # no sort — forever after the one-time build. The wave side still
+        # shuffles, but it is ≤ wave_budget rows vs the whole corpus. Same
+        # treatment for the pages table below: this is the in-memory twin of
+        # bucketing the Iceberg table by its join key at cluster scale.
+        self.response_cache = (
+            response_cache.repartition(self._n_shuffle_init, "cache_key")
+            .sortWithinPartitions("cache_key")
+            .persist()
+            if response_cache is not None
+            else None
+        )
         self.cfg = config or CrawlConfig()
         self.specs = self.cfg.job_types or jobtypes.default_specs()
         # one-time batch cost, amortized over every wave
-        self.pages = FT.resolve_redirects(pages).persist()
+        self.pages = (
+            FT.resolve_redirects(pages)
+            .repartition(self._n_shuffle_init, "url_hash")
+            .sortWithinPartitions("url_hash")
+            .persist()
+        )
         self.robots = robots.persist()
         self.budgets = budgets.persist()
         self.images = images
@@ -482,7 +501,9 @@ class CrawlEngine:
         return out.drop("_v", "bytes", "fmt")
 
     # ------------------------------------------------------------------ #
-    def _materialize(self, df: DataFrame, table: str, wave: int) -> DataFrame:
+    def _materialize(
+        self, df: DataFrame, table: str, wave: int, keep_layout: bool = False
+    ) -> DataFrame:
         """Cut lineage per wave: durable parquet when checkpointing, else
         localCheckpoint (plan would otherwise grow superlinearly with waves).
 
@@ -503,11 +524,26 @@ class CrawlEngine:
         that (plus the checkpoint work no longer overlapping the wave
         boundary) costs more than the per-cut barrier saves. Verdict:
         keep AQE; CRAWLSPARK_CKPT_STATIC=1 preserves the losing arm for
-        re-measurement only."""
+        re-measurement only.
+
+        `keep_layout` (round 5): compile THIS cut statically so the
+        checkpointed frame keeps its physical layout metadata. Under AQE the
+        compiled plan is an AdaptiveSparkPlanExec whose outputPartitioning /
+        outputOrdering are still Unknown at compile time, so the LogicalRDD
+        the checkpoint wraps reports UnknownPartitioning — and every
+        downstream window re-exchanges a frame that is ALREADY partitioned
+        the right way. With a static compile the frame reports its
+        hashpartitioning(host_bucket), which both politeness windows ride
+        exchange-free (per_host_topk leads its partition keys with
+        host_bucket for exactly this). Used ONLY for the frontier snapshot:
+        its subplan is unions + an explicitly-hinted broadcast anti-join +
+        an explicit repartition — nothing AQE's runtime re-planning helps
+        with — so the r4 A/B's verdict (AQE-on for the OTHER cuts, where
+        runtime stats feed downstream join planning) stands."""
         if self.io:
             self.io.write_wave(df, table, wave)
             return self.io.read_wave(table, wave)
-        if self._ckpt_static:
+        if self._ckpt_static or keep_layout:
             conf = self.spark.conf
             prev = conf.get("spark.sql.adaptive.enabled", "true")
             try:
@@ -561,7 +597,14 @@ class CrawlEngine:
             wave = 0
             stopped = False
             pending, seen_delta, blocked_term = self._admit_seeds(seeds)
-            pending = self._materialize(pending, "pending", 0)
+            # wave-0 snapshot gets the same stored layout as every later
+            # wave's (host-bucketed, sorted) so wave 1's politeness windows
+            # ride it exchange-free too
+            pending = self._materialize(
+                pending.repartition(self._n_shuffle, "host_bucket")
+                .sortWithinPartitions("priority", "seq"),
+                "pending", 0, keep_layout=True,
+            )
             seen = self._materialize(seen_delta, "seen", 0)
             blocked_term = self._materialize(blocked_term, "terminal", 0)
             terminal_parts.append(blocked_term)
@@ -602,7 +645,26 @@ class CrawlEngine:
             polite = politeness.per_host_topk(
                 eligible, self.budgets, cfg.default_host_budget, cfg.salt_buckets
             )
-            wave_sel = frontier.select_wave(polite, cfg.wave_budget)
+            # Selection-rank bucket from driver-tracked seq watermarks
+            # (frontier.with_inspark_rank_bucketed): seqs are assigned
+            # densely in [0, seq_base) and completion drains mostly from the
+            # front, so pending seqs concentrate in roughly the top
+            # n_pending of the space. An equal-slice map of
+            # [seq_base − n_pending, seq_base) is near-uniform there;
+            # stragglers below the watermark (out-of-order completions,
+            # retries) clamp into bucket 0 — a balance wobble, never an
+            # ordering error (the bucket stays monotone in seq).
+            nb_sel = self._n_shuffle
+            seq_lo = max(0, seq_base - max(1, n_pending))
+            seq_span = max(1, seq_base - seq_lo)
+            seq_bucket = F.greatest(
+                F.least(
+                    ((F.col("seq") - F.lit(seq_lo)) * F.lit(nb_sel) / F.lit(seq_span)).cast("int"),
+                    F.lit(nb_sel - 1),
+                ),
+                F.lit(0),
+            )
+            wave_sel = frontier.select_wave(polite, cfg.wave_budget, seq_bucket=seq_bucket)
             if cfg.fetch_profile:
                 # F-23: profile headers merged under the job's own
                 from crawlspark import stealth
@@ -695,6 +757,12 @@ class CrawlEngine:
                 ex_agg.withColumn("_kind", F.lit("ex")),
                 allowMissingColumns=True,
             )
+            if self._profile and wave == int(
+                os.environ.get("CRAWLSPARK_EXPLAIN_WAVE", "0")
+            ):
+                # plan-shape debugging: dump the wave's single fused action
+                print(f"=== fused plan, wave {wave} ===", flush=True)
+                fused.explain("formatted")
             rows = self._retry_action(fused.collect)
             oc_rows = [r for r in rows if r["_kind"] == "oc"]
             ex_stats = [r for r in rows if r["_kind"] == "ex"]
@@ -722,8 +790,14 @@ class CrawlEngine:
                 wave = max(wave, -(-int(nxt) // cfg.wave_period_us) - 1)
                 continue
 
+            # broadcast hint, not AQE-discovered: wave_sel is ≤ wave_budget
+            # rows (driver-bounded), while `eligible` is the frontier — a
+            # sort-merge anti-join would shuffle the whole frontier on
+            # job_id every wave. The hint also keeps the join broadcast
+            # inside the frontier snapshot's statically-compiled cut
+            # (keep_layout below), where AQE isn't around to discover it.
             leftover = eligible.join(
-                wave_sel.select("job_id"), "job_id", "left_anti"
+                F.broadcast(wave_sel.select("job_id")), "job_id", "left_anti"
             )
 
             n_done = by_outcome.get("done", 0)
@@ -767,8 +841,24 @@ class CrawlEngine:
                 self._expand_finish(parted, ex_stats, wave, wave_ts, seq_base)
             )
             self._tick("expand", wave)
-            admitted = self._materialize(admitted, "admitted", wave)
-            seen_delta = self._materialize(seen_delta, "seen", wave)
+            # Both cuts compile statically (keep_layout): under AQE,
+            # localCheckpoint(eager=False) materializes the cut's non-final
+            # query stages at COMPILE time — ~2 s of serial driver floor per
+            # wave on frames whose downstream is unions and explicitly-
+            # hinted joins only, i.e. nothing AQE's runtime stats would
+            # re-plan (profile: the mat-pending leg, 10 jobs/wave).
+            admitted = self._materialize(admitted, "admitted", wave, keep_layout=True)
+            # narrow each seen delta before it enters the probe-side union
+            # chain: a delta holds ≤ one wave's fresh keys (≪ the full seen
+            # set the shuffle width is sized for), yet at full width the
+            # chain grows the seen-probe stage by n_shuffle tasks per wave
+            # between compactions (event-log profile: +64 tasks/wave). A
+            # coalesce is width-only — no exchange; the upstream reads the
+            # already-persisted expansion frame — and cuts the leak 8×.
+            seen_delta = self._materialize(
+                seen_delta.coalesce(max(1, self._n_shuffle // 8)),
+                "seen", wave, keep_layout=True,
+            )
             self._seen_rows += n_new
             seq_base += n_allowed
             n_init_pending = n_init_pending - n_sched_init + n_retried_init + n_allowed_init
@@ -786,7 +876,7 @@ class CrawlEngine:
             new_pending = new_pending.repartition(
                 self._n_shuffle, "host_bucket"
             ).sortWithinPartitions("priority", "seq")
-            pending = self._materialize(new_pending, "pending", wave)
+            pending = self._materialize(new_pending, "pending", wave, keep_layout=True)
             self._tick("mat-pending", wave)
             seen = seen.unionByName(seen_delta)  # both sides already materialized
             self._bloom_maintain(seen, seen_delta)

@@ -112,6 +112,70 @@ def with_inspark_rank(
     )
 
 
+def with_inspark_rank_bucketed(
+    df: DataFrame,
+    bucket_col,
+    rank_col: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global (priority, seq) rank in ONE explicit hash exchange, no sampling.
+
+    `with_inspark_rank` pays, per call: the range-bounds sampling job that
+    `repartitionByRange` hides, the range exchange itself, AND a second full
+    exchange because the rank window's required hashpartitioning(_pid) does
+    not match rangepartitioning. Here the caller supplies `bucket_col` — a
+    pure row function that must be MONOTONE NON-DECREASING in `seq` within
+    each priority value (the engine derives one from its driver-tracked seq
+    watermarks; any clamped linear map of seq qualifies). Then:
+
+      _rn      = row_number within (_pid, priority) ordered by seq
+      offsets  = per-(_pid, priority) counts, prefix-summed in
+                 (priority, _pid) order — correct because bucket monotonicity
+                 in seq within a priority means every row of (p, b) sorts
+                 before every row of (p, b+1), and priority-major order
+                 handles the rest. The aggregate is ≤ 3·n_parts rows, so the
+                 single-partition prefix window is driver-trivial.
+      rank     = _rn + offset, broadcast-joined back.
+
+    One exchange total; the window, the count aggregate, and the join all
+    ride it. Deterministic under stage retry (the bucket is a row function;
+    re-sampled range bounds are not). Balance comes from the caller's bucket
+    map, not from sampling — the engine's seq-space map is near-uniform for
+    a FIFO-draining frontier and degrades only by crowding stragglers into
+    bucket 0 (clamped), never by breaking order.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.withColumn("_pid", bucket_col).repartition(n_parts, "_pid")
+    # persist — shared by the offsets broadcast subplan and the main join
+    parted = parted.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("_pid", "priority").orderBy("seq")),
+    ).persist()
+    offsets = (
+        parted.groupBy("_pid", "priority")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("priority", "_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    return (
+        parted.join(F.broadcast(offsets), ["_pid", "priority"])
+        .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def ranked_within(
     df: DataFrame, part_cols, order_cols, rank_col: str = "rank", n_parts: int | None = None
 ) -> DataFrame:
@@ -156,7 +220,9 @@ def ranked_within(
     )
 
 
-def select_wave(eligible_polite: DataFrame, wave_budget: int) -> DataFrame:
+def select_wave(
+    eligible_polite: DataFrame, wave_budget: int, seq_bucket=None
+) -> DataFrame:
     """Global budget: top-`wave_budget` by (priority, seq) = strict priority
     with FIFO inside each level (the nested-select semantics of memory.go:37-64).
 
@@ -164,6 +230,14 @@ def select_wave(eligible_polite: DataFrame, wave_budget: int) -> DataFrame:
     binding this is just the rank projection. The returned frame carries
     `rank`, the wave's crawl-order position (used by goldens + child seq
     assignment). Fully lazy: the wave's selected-count falls out of the
-    fetch-outcome aggregate instead of a dedicated action."""
-    ranked = with_inspark_rank(eligible_polite, ORDER_COLS, "rank")
+    fetch-outcome aggregate instead of a dedicated action.
+
+    `seq_bucket`: optional pure-row bucket column, monotone in seq within
+    each priority (the engine passes one derived from its seq watermarks) —
+    routes through `with_inspark_rank_bucketed`, saving the range-sampling
+    job and one of the two exchanges the range-partitioned rank pays."""
+    if seq_bucket is not None:
+        ranked = with_inspark_rank_bucketed(eligible_polite, seq_bucket, "rank")
+    else:
+        ranked = with_inspark_rank(eligible_polite, ORDER_COLS, "rank")
     return ranked.filter(F.col("rank") <= wave_budget)

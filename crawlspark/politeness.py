@@ -81,13 +81,25 @@ def per_host_topk(
         "_budget", F.coalesce(F.col("max_per_wave"), F.lit(default_budget))
     ).drop("max_per_wave")
 
+    # When the frame carries its frontier layout column (host_bucket =
+    # f(host), urlnorm.host_bucket), lead the window partition keys with it.
+    # Semantics are identical — row_number within (host_bucket, host, salt)
+    # IS row_number within (host, salt) since host determines host_bucket —
+    # but the required distribution becomes ClusteredDistribution(host_bucket,
+    # …), which the frontier snapshot's stored hashpartitioning(host_bucket)
+    # already satisfies (a subset partitioning satisfies a clustered
+    # requirement), so BOTH politeness windows run exchange-free on top of
+    # the persisted frontier: two full shuffles of the pending set removed
+    # from every wave. Frames without the column (library callers) keep the
+    # plain keys and pay the exchanges.
+    lead = [F.col("host_bucket")] if "host_bucket" in df.columns else []
     salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
-    w1 = Window.partitionBy(F.col("host"), salt).orderBy("priority", "seq")
+    w1 = Window.partitionBy(*lead, F.col("host"), salt).orderBy("priority", "seq")
     phase1 = df.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= F.col("_budget")
     ).drop("_r1")
 
-    w2 = Window.partitionBy("host").orderBy("priority", "seq")
+    w2 = Window.partitionBy(*lead, F.col("host")).orderBy("priority", "seq")
     return (
         phase1.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col("_budget"))
