@@ -394,8 +394,12 @@ class CrawlEngine:
                     .rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 ),
             )
-            .persist()
         )
+        # RDD leaf (not .persist): shared by the fused action's ex_agg branch
+        # — which the union's attribute dedup would otherwise disconnect from
+        # the cache, recomputing the whole expansion — and by _expand_finish's
+        # admitted/seen-delta/blocked frames after the action (see _cut_lazy)
+        parted = self._cut_lazy(parted)
         ex_agg = parted.groupBy("_pid").agg(
             F.count("*").alias("n_cand"),
             F.sum(F.when(F.col("_fresh"), 1).otherwise(0)).alias("n_fresh"),
@@ -554,6 +558,42 @@ class CrawlEngine:
         return df.localCheckpoint(eager=False)
 
     # ------------------------------------------------------------------ #
+    def _cut_lazy(self, df: DataFrame) -> DataFrame:
+        """Intra-wave sharing cut: static-compiled, NON-EAGER localCheckpoint.
+
+        Why not .persist(): the wave's fused action is a UNION of two
+        aggregates over the same frames (outcomes + expansion), and the rank
+        is a SELF-join (frame ⋈ its own count aggregate). In both shapes the
+        analyzer rewrites one side's attribute ids to resolve the conflict —
+        and after that rewrite the cache-manager's plan matching no longer
+        substitutes the persisted frame on that side (verified on the live
+        plan: wave 2's fused plan carried ZERO InMemoryTableScans in the
+        expansion branch and recomputed politeness + selection + fetch from
+        the raw frontier snapshot — the politeness chain executed ~4× per
+        wave, the fetch pipeline 2×). An RDD leaf is immune: the dedup
+        renames the LogicalRDD's output attributes but they still bind to
+        the SAME checkpointed RDD, whose partitions compute exactly once
+        under the block manager's per-partition lock — even when both
+        branches of one job race to them.
+
+        Compiled statically (AQE off) for the same reason as keep_layout in
+        _materialize: under AQE, plan→RDD conversion materializes non-final
+        query stages at COMPILE time (serial driver floor), and the frames
+        cut here feed only aggregates and explicitly-hinted joins — nothing
+        AQE's runtime stats would re-plan. Unlike _materialize this cut is
+        never durable: it shares work within one wave, it is not resume
+        state. Block cleanup rides the context cleaner when the wave's
+        Python references drop (memory mode holds them until the end-of-run
+        output union, exactly as the persisted frames were held before)."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            return df.localCheckpoint(eager=False)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
+
+    # ------------------------------------------------------------------ #
     def run(self, seeds: DataFrame, resume: bool = False) -> CrawlRun:
         spark = self.spark
         cfg = self.cfg
@@ -664,7 +704,10 @@ class CrawlEngine:
                 ),
                 F.lit(0),
             )
-            wave_sel = frontier.select_wave(polite, cfg.wave_budget, seq_bucket=seq_bucket)
+            wave_sel = frontier.select_wave(
+                polite, cfg.wave_budget, seq_bucket=seq_bucket,
+                materialize=self._cut_lazy,
+            )
             if cfg.fetch_profile:
                 # F-23: profile headers merged under the job's own
                 from crawlspark import stealth
@@ -741,7 +784,13 @@ class CrawlEngine:
             if cfg.enable_hooks:
                 # F-29 hooks side-output (request_hooks.go:31-48)
                 fetched = fetched.withColumn("hook_events", FT.hook_events_expr())
-            out = FT.apply_outcomes(fetched, wave_ts).persist()
+            # RDD leaf, not .persist(): the fused union's expansion branch
+            # is attribute-deduped by the analyzer, after which the cached
+            # plan no longer matches and the branch recomputed selection +
+            # fetch + outcomes from scratch (see _cut_lazy). As a leaf, both
+            # branches — and the end-of-run output union — read the same
+            # once-computed blocks.
+            out = self._cut_lazy(FT.apply_outcomes(fetched, wave_ts))
 
             # THE wave's single driver action (round 4; was 2 in r2/r3): the
             # outcome aggregate and the expansion per-partition aggregate are
@@ -777,9 +826,7 @@ class CrawlEngine:
             n_sched = sum(by_outcome.values())
             self._tick("select+fetch+outcomes", wave)
             if n_sched == 0:
-                wave_sel.unpersist()
-                out.unpersist()
-                parted.unpersist()
+                wave_sel.unpersist()  # out/parted are RDD leaves — GC-cleaned
                 src = pending.filter("is_init") if init_phase else pending
                 nxt = src.agg(F.min("not_before_us").alias("m")).collect()[0]["m"]
                 if nxt is None:
@@ -930,9 +977,7 @@ class CrawlEngine:
                         "n_init_pending": n_init_pending,
                     }
                 )
-                out.unpersist()
-                wave_sel.unpersist()
-                parted.unpersist()
+                wave_sel.unpersist()  # out/parted are RDD leaves — GC-cleaned
             # memory mode: `out`/`cand` stay cached — the end-of-run union of
             # wave outputs reads them instead of recomputing the whole wave
             if n_pending_after == 0:

@@ -117,6 +117,7 @@ def with_inspark_rank_bucketed(
     bucket_col,
     rank_col: str = "rank",
     n_parts: int | None = None,
+    materialize=None,
 ) -> DataFrame:
     """Global (priority, seq) rank in ONE explicit hash exchange, no sampling.
 
@@ -148,11 +149,20 @@ def with_inspark_rank_bucketed(
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parted = df.withColumn("_pid", bucket_col).repartition(n_parts, "_pid")
-    # persist — shared by the offsets broadcast subplan and the main join
+    # shared by the offsets broadcast subplan AND the main join — without a
+    # cut the whole upstream (politeness windows, eligibility scan) runs
+    # twice. `materialize` (the engine passes a lazy RDD-leaf cut) is
+    # preferred over .persist(): the self-join below makes the analyzer
+    # rewrite the offsets side's attribute ids, after which the cache
+    # manager no longer matches the persisted plan on that side and the
+    # offsets subplan recomputes the upstream from scratch (observed on the
+    # live wave plan). An RDD leaf survives the rewrite — renamed
+    # attributes still bind to the same checkpointed RDD.
     parted = parted.withColumn(
         "_rn",
         F.row_number().over(Window.partitionBy("_pid", "priority").orderBy("seq")),
-    ).persist()
+    )
+    parted = materialize(parted) if materialize is not None else parted.persist()
     offsets = (
         parted.groupBy("_pid", "priority")
         .agg(F.count("*").alias("_n"))
@@ -221,7 +231,7 @@ def ranked_within(
 
 
 def select_wave(
-    eligible_polite: DataFrame, wave_budget: int, seq_bucket=None
+    eligible_polite: DataFrame, wave_budget: int, seq_bucket=None, materialize=None
 ) -> DataFrame:
     """Global budget: top-`wave_budget` by (priority, seq) = strict priority
     with FIFO inside each level (the nested-select semantics of memory.go:37-64).
@@ -237,7 +247,9 @@ def select_wave(
     routes through `with_inspark_rank_bucketed`, saving the range-sampling
     job and one of the two exchanges the range-partitioned rank pays."""
     if seq_bucket is not None:
-        ranked = with_inspark_rank_bucketed(eligible_polite, seq_bucket, "rank")
+        ranked = with_inspark_rank_bucketed(
+            eligible_polite, seq_bucket, "rank", materialize=materialize
+        )
     else:
         ranked = with_inspark_rank(eligible_polite, ORDER_COLS, "rank")
     return ranked.filter(F.col("rank") <= wave_budget)
