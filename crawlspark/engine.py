@@ -182,9 +182,12 @@ class CrawlEngine:
         )
 
     def _bloom_maintain(self, seen_full, seen_delta) -> None:
-        """Build/extend the bloom tier only once the seen set is big enough
-        for the prefilter to pay for itself (construction is deferred, then
-        a one-time full build catches up, then per-wave deltas)."""
+        """Build the bloom tier only once the seen set is big enough for the
+        prefilter to pay for itself: construction is deferred, then a
+        one-time full build catches up. After that sync, per-wave deltas
+        ride the fused action's `bloom` branch (zero extra driver jobs) —
+        this method's delta path is only a fallback for callers that bypass
+        the BSP loop (`seen_delta` kept in the signature for them)."""
         if self.bloom is None:
             return
         if self._seen_rows < self.cfg.bloom_prefilter_min_seen // 2:
@@ -193,8 +196,6 @@ class CrawlEngine:
         if not getattr(self, "_bloom_synced", False):
             self.bloom.add_from_df(seen_full)
             self._bloom_synced = True
-        else:
-            self.bloom.add_from_df(seen_delta)
 
     def _retry_action(self, fn, attempts: int = 3, delay_s: float = 1.0):
         """F-4 provider-error restart analog (scrapemate.go:532-543: log,
@@ -806,6 +807,22 @@ class CrawlEngine:
                 ex_agg.withColumn("_kind", F.lit("ex")),
                 allowMissingColumns=True,
             )
+            # Bloom-tier delta maintenance as a THIRD branch of the fused
+            # action (round 5): once the tier is synced, each wave's fresh-key
+            # bitsets are aggregated over the expansion leaf and collected
+            # with the outcome/expansion stats — tier upkeep was a dedicated
+            # 1-3 s driver round-trip per wave (pure serial floor, and the
+            # main per-wave cost growth once the tier engages), now it
+            # overlaps the stages the wave already runs.
+            bloom_live = self.bloom is not None and getattr(self, "_bloom_synced", False)
+            if bloom_live:
+                bloom_agg = self.bloom.delta_agg_df(
+                    parted.filter(F.col("_fresh")).select("url_hash")
+                )
+                fused = fused.unionByName(
+                    bloom_agg.withColumn("_kind", F.lit("bloom")),
+                    allowMissingColumns=True,
+                )
             if self._profile and wave == int(
                 os.environ.get("CRAWLSPARK_EXPLAIN_WAVE", "0")
             ):
@@ -815,6 +832,8 @@ class CrawlEngine:
             rows = self._retry_action(fused.collect)
             oc_rows = [r for r in rows if r["_kind"] == "oc"]
             ex_stats = [r for r in rows if r["_kind"] == "ex"]
+            if bloom_live:
+                self.bloom.merge_rows([r for r in rows if r["_kind"] == "bloom"])
             by_outcome: dict[str, int] = {}
             n_sched_init = n_retried_init = 0
             for r in oc_rows:

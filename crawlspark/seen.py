@@ -55,9 +55,13 @@ class PartitionedBloom:
         self.k = k
         self.bitsets = {p: np.zeros(m_bits // 8, dtype=np.uint8) for p in range(n_partitions)}
 
-    def add_from_df(self, df: DataFrame, hash_col: str = "url_hash") -> None:
-        """Distributed build: per-partition bitsets computed by applyInPandas
-        (each group sees only its hash range), OR-merged into the tier."""
+    def delta_agg_df(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """LAZY distributed bitset build: per-partition bitsets computed by
+        applyInPandas (each group sees only its hash range), returned as a
+        ≤P-row (p, bitset) frame. The engine unions this into the wave's
+        single fused action (round 5), so tier maintenance rides the job the
+        wave already pays instead of a dedicated 1-3 s driver round-trip per
+        wave; merge the collected rows with `merge_rows`."""
         P, m, k = self.n_partitions, self.m_bits, self.k
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -67,17 +71,24 @@ class PartitionedBloom:
             pid = int(pdf["p"].iloc[0])
             return pd.DataFrame({"p": [pid], "bitset": [np.packbits(bits).tobytes()]})
 
-        parts = (
+        return (
             df.select(F.col(hash_col).alias("h"))
             .withColumn("p", F.pmod(F.col("h"), F.lit(P)).cast("int"))
             .groupBy("p")
             .applyInPandas(build, schema="p int, bitset binary")
-            .collect()
         )
-        for r in parts:
+
+    def merge_rows(self, rows) -> None:
+        """OR collected (p, bitset) rows — from delta_agg_df — into the tier."""
+        for r in rows:
             self.bitsets[r["p"]] = self.bitsets[r["p"]] | np.frombuffer(
                 r["bitset"], dtype=np.uint8
             )
+
+    def add_from_df(self, df: DataFrame, hash_col: str = "url_hash") -> None:
+        """Eager build: delta_agg_df + collect + merge (the one-time full
+        catch-up sync; per-wave deltas ride the fused action instead)."""
+        self.merge_rows(self.delta_agg_df(df, hash_col).collect())
 
     def might_contain(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership for a numpy batch of int64 hashes."""

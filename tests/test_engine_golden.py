@@ -215,3 +215,31 @@ def test_discard_policy_single_attempt(spark):
     assert got["discard0"] == (1, C.ST_FAILED)
     assert not run.stopped  # crawl continued past the discard
     assert got == {g["job_id"]: (g["attempts"], g["final_state"]) for g in golden.retry_trace}
+
+
+def test_bloom_tier_fused_delta_stays_exact(spark):
+    """Round 5: once synced, bloom-tier deltas ride the wave's fused action
+    (engine run loop `bloom_live` branch) instead of a dedicated per-wave
+    job. A dropped delta would be a bloom FALSE NEGATIVE — a re-discovered
+    URL marked definitely-new skips the exact seen join and is admitted
+    twice. Force the tier live from wave 1 (threshold=2) on a revisit-heavy
+    world and require the full golden parity: order, seen set, metrics."""
+    world = synth.make_world(n_hosts=6, total_pages=110)
+    run, golden = _run_both(
+        spark, world, wave_budget=40, bloom_prefilter_min_seen=2
+    )
+    got = [
+        (r.wave, r.rank, r.job_id, r.url_canon)
+        for r in run.order.orderBy("wave", "rank").collect()
+    ]
+    want = [(g["wave"], g["rank"], g["job_id"], g["url_canon"]) for g in golden.crawl_order]
+    assert got == want
+    assert {r.cache_key for r in run.seen.collect()} == {g["cache_key"] for g in golden.seen}
+    assert run.seen.count() == len(golden.seen)
+    got_m = [
+        (m["wave"], m["scheduled"], m["new_urls"], m["deduped"]) for m in run.metrics
+    ]
+    want_m = [
+        (m["wave"], m["scheduled"], m["new_urls"], m["deduped"]) for m in golden.metrics
+    ]
+    assert got_m == want_m

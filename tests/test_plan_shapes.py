@@ -76,3 +76,52 @@ def test_codegen_covers_the_agg_pipeline(spark, queries):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in executed, f"no WholeStageCodegen span in:\n{executed}"
+
+
+def test_wave_leaf_sharing_computes_upstream_once(spark):
+    """Round 5: the wave's fused action (union of two aggregates) and the
+    rank self-join share their input via RDD leaves (engine._cut_lazy), not
+    .persist() — the analyzer's attribute-id dedup on a union/self-join
+    disconnects cached-plan matching, and the live wave plan was recomputing
+    politeness ~4x and fetch 2x per wave. Pin the mechanism: a union of two
+    aggregates over one lazy localCheckpoint leaf must execute the upstream
+    exactly once (counted via an accumulator in a deterministic UDF that the
+    second branch consumes, so column pruning can't hide a recompute)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, LongType())
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("seq"),
+        (F.col("id") % 3).alias("priority"),
+        bump_udf(F.col("id")).alias("marked"),
+    ).withColumn("outcome", F.when(F.col("seq") % 2 == 0, "done").otherwise("retry"))
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        leaf = base.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    oc = leaf.groupBy("outcome").agg(F.count("*").alias("n")).select(
+        F.lit("oc").alias("_k"), "outcome", "n"
+    )
+    ex = (
+        leaf.filter(F.col("outcome") == "done")
+        .groupBy("priority")
+        .agg(F.sum("marked").alias("n"))
+        .select(F.lit("ex").alias("_k"), F.col("priority").cast("string").alias("outcome"), "n")
+    )
+    rows = oc.unionByName(ex).collect()
+    assert len(rows) == 2 + 3  # outcomes done/retry + priorities 0..2 (even seqs hit all three)
+    assert acc.value == 1000, (
+        f"upstream executed {acc.value / 1000:.1f}x — leaf sharing broken"
+    )
