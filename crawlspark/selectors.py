@@ -6,20 +6,31 @@ document (`adapters/parsers/goqueryparser/goquery.go:17-24`, used as
 collect_job.go:28-69` and `product.go:33-81`). This module gives the Spark
 engine the same surface for the constrained synthetic HTML:
 
-Grammar (the subset those call sites use, plus the common goquery idioms
-beyond it — round 5 added ``#id``, ``[attr]``, ``[attr=val]`` and ``*``):
+Grammar (round 5 closed the gap to the goquery/cascadia idioms a scrapemate
+job can realistically use — the earlier subsets survive unchanged):
   * simple selectors: ``tag``, ``*``, ``.class``, ``#id``, ``[attr]``,
-    ``[attr=val]`` / ``[attr="val"]`` / ``[attr='val']``, and any
-    conjunction of those qualifiers on one compound, e.g.
-    ``a.btn#buy[rel=nofollow]``
-  * combinators: descendant (whitespace) and direct child (``>``)
-  * a terminal extraction pseudo: ``::text`` (default — all descendant text
-    in document order, goquery ``.Text()``), or ``::attr(name)``
-    (goquery ``.Attr(name)``; nodes without the attribute are skipped)
+    attribute operators ``[attr=val]`` ``[attr~=val]`` ``[attr|=val]``
+    ``[attr^=val]`` ``[attr$=val]`` ``[attr*=val]`` (values optionally
+    ``'``/``"``-quoted), and any conjunction of those qualifiers on one
+    compound, e.g. ``a.btn#buy[rel=nofollow]``
+  * structural pseudo-classes: ``:first-child``, ``:last-child``,
+    ``:only-child``, ``:nth-child(an+b|even|odd|k)``, ``:nth-last-child(…)``,
+    ``:first-of-type``, ``:last-of-type``, ``:only-of-type``,
+    ``:nth-of-type(…)``, ``:nth-last-of-type(…)``, ``:empty``, and
+    ``:not(compound)`` (argument is one compound, no combinators/nesting)
+  * combinators: descendant (whitespace), direct child (``>``), adjacent
+    sibling (``+``), general sibling (``~``)
+  * selector groups: top-level commas (``h1, h2.title``) union in document
+    order, like goquery ``Find("a, b")``
+  * a terminal extraction pseudo (this module's addition — goquery does the
+    equivalent with ``.Text()``/``.Attr``): ``::text`` (default — all
+    descendant text in document order) or ``::attr(name)`` (nodes without
+    the attribute are skipped); one per selector string, applies to the
+    whole group
 
-Still unsupported (clear ValueError, never a silent mis-match): sibling
-combinators (``+``/``~``), ``:nth-child``-family pseudo-classes, and
-non-equality attribute operators (``^=``, ``$=``, ``*=``, ``~=``).
+Still unsupported (clear ValueError, never a silent mis-match): the
+non-structural pseudo-classes (``:hover``-family, ``:has``, ``:contains``)
+and nested/grouped ``:not`` arguments.
 
 Matches come back in document order, like ``Find().Each``.
 
@@ -62,36 +73,65 @@ _IMPLIED_CLOSE = {
 }
 
 _SIMPLE_RE = re.compile(
-    r"^([a-zA-Z][a-zA-Z0-9-]*|\*)?((?:\.[\w-]+|#[\w-]+|\[[^\]]+\])*)$"
+    r"^([a-zA-Z][a-zA-Z0-9-]*|\*)?"
+    r"((?:\.[\w-]+|#[\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?)*)$"
 )
-_QUAL_RE = re.compile(r"\.[\w-]+|#[\w-]+|\[[^\]]+\]")
-_ATTR_RE = re.compile(r"^\[\s*([\w-]+)\s*(?:=\s*(.*?)\s*)?\]$")
+_QUAL_RE = re.compile(r"\.[\w-]+|#[\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?")
+_ATTR_RE = re.compile(r"^\[\s*([\w-]+)\s*(?:([~^$*|]?=)\s*(.*?)\s*)?\]$")
+# an+b micro-grammar for the :nth-* family: even | odd | b | an | an+b | an-b
+_NTH_RE = re.compile(
+    r"^\s*(?:(even|odd)|([+-]?\d+)|([+-]?\d*)n(?:\s*([+-])\s*(\d+))?)\s*$"
+)
 
 
 def _split_compounds(sel: str) -> list[tuple[str, str]]:
-    """Split a selector into (combinator, compound) pairs, bracket-aware so
-    ``a[title="next page"]`` keeps its quoted space. comb ∈ {' ', '>'};
+    """Split a selector into (combinator, compound) pairs, bracket- and
+    paren-aware so ``a[title="next page"]`` keeps its quoted space and
+    ``:nth-child(2n+1)`` keeps its ``+``. comb ∈ {' ', '>', '+', '~'};
     the first compound's comb is ' '."""
     out: list[tuple[str, str]] = []
     buf: list[str] = []
     comb, depth = " ", 0
     for ch in sel:
-        if ch == "[":
+        if ch in "[(":
             depth += 1
-        elif ch == "]":
+        elif ch in "])":
             depth = max(depth - 1, 0)
-        if depth == 0 and ch in (" ", "\t", ">"):
+        if depth == 0 and ch in (" ", "\t", ">", "+", "~"):
             if buf:
                 out.append((comb, "".join(buf)))
                 buf, comb = [], " "
-            if ch == ">":
-                comb = ">"
+            if ch in ">+~":
+                if comb != " ":
+                    raise ValueError(f"doubled combinator near {ch!r}: {sel!r}")
+                comb = ch
             continue
         buf.append(ch)
     if buf:
         out.append((comb, "".join(buf)))
-    elif comb == ">":
-        raise ValueError(f"selector ends with a dangling '>': {sel!r}")
+    elif comb != " ":
+        raise ValueError(f"selector ends with a dangling {comb!r}: {sel!r}")
+    return out
+
+
+def _split_group(sel: str) -> list[str]:
+    """Top-level comma split (selector groups), bracket/paren-aware."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in sel:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth = max(depth - 1, 0)
+        if depth == 0 and ch == ",":
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    out.append("".join(buf))
+    if any(not alt.strip() for alt in out):
+        raise ValueError(f"empty alternative in selector group: {sel!r}")
     return out
 
 
@@ -145,10 +185,11 @@ def _parse_html(text: str) -> _Node:
 
 
 def compile_selector(selector: str):
-    """selector → (parts, extract) where parts =
-    [(comb, tag, classes, attr_conds), ...] (comb ∈ {' ', '>'}, first part's
-    comb is ' '; attr_conds = tuple of (name, value_or_None) — None means
-    presence-only) and extract is ('text',) or ('attr', name)."""
+    """selector → (alts, extract) where alts is a list (one per top-level
+    comma alternative) of parts = [(comb, tag, classes, attr_conds,
+    pseudos), ...] (comb ∈ {' ', '>', '+', '~'}, first part's comb is ' ';
+    attr_conds = tuple of (name, op, value) — op None means presence-only)
+    and extract is ('text',) or ('attr', name)."""
     sel, _, pseudo = selector.partition("::")
     if not pseudo or pseudo == "text":
         extract = ("text",)
@@ -159,13 +200,54 @@ def compile_selector(selector: str):
     sel = sel.strip()
     if not sel:
         raise ValueError("empty selector")
-    parts = [(comb, *_simple(tok)) for comb, tok in _split_compounds(sel)]
-    if not parts:
-        raise ValueError("empty selector")
-    return parts, extract
+    alts = []
+    for alt in _split_group(sel):
+        parts = [(comb, *_simple(tok)) for comb, tok in _split_compounds(alt.strip())]
+        if not parts:
+            raise ValueError("empty selector")
+        alts.append(parts)
+    return alts, extract
 
 
-def _simple(token: str) -> tuple[str, frozenset, tuple]:
+def _parse_nth(arg: str) -> tuple[int, int]:
+    m = _NTH_RE.match(arg)
+    if not m:
+        raise ValueError(f"unsupported an+b expression {arg!r}")
+    if m.group(1):
+        return (2, 0) if m.group(1) == "even" else (2, 1)
+    if m.group(2):
+        return (0, int(m.group(2)))
+    coef = m.group(3)
+    a = 1 if coef in ("", "+") else -1 if coef == "-" else int(coef)
+    b = int(m.group(5)) if m.group(5) else 0
+    if m.group(4) == "-":
+        b = -b
+    return (a, b)
+
+
+def _nth_ok(a: int, b: int, pos: int) -> bool:
+    # pos matches an+b iff ∃ integer k ≥ 0 with pos = a·k + b
+    if a == 0:
+        return pos == b
+    return (pos - b) % a == 0 and (pos - b) // a >= 0
+
+
+_POSITIONAL = {
+    # name → (a, b, from_end, of_type) with fixed an+b
+    "first-child": (0, 1, False, False),
+    "last-child": (0, 1, True, False),
+    "first-of-type": (0, 1, False, True),
+    "last-of-type": (0, 1, True, True),
+}
+_NTH_KINDS = {
+    "nth-child": (False, False),
+    "nth-last-child": (True, False),
+    "nth-of-type": (False, True),
+    "nth-last-of-type": (True, True),
+}
+
+
+def _simple(token: str, allow_pseudo: bool = True) -> tuple[str, frozenset, tuple, tuple]:
     m = _SIMPLE_RE.match(token)
     if not m or (not m.group(1) and not m.group(2)):
         raise ValueError(f"unsupported simple selector {token!r}")
@@ -173,44 +255,123 @@ def _simple(token: str) -> tuple[str, frozenset, tuple]:
     if tag == "*":
         tag = ""
     classes: set[str] = set()
-    conds: list[tuple[str, str | None]] = []
+    conds: list[tuple[str, str | None, str | None]] = []
+    pseudos: list[tuple] = []
     for qual in _QUAL_RE.findall(m.group(2)):
         if qual.startswith("."):
             classes.add(qual[1:])
         elif qual.startswith("#"):
-            conds.append(("id", qual[1:]))
+            conds.append(("id", "=", qual[1:]))
+        elif qual.startswith(":"):
+            if not allow_pseudo:
+                raise ValueError(f"nested pseudo-class not supported: {qual!r}")
+            name, _, arg = qual[1:].partition("(")
+            arg = arg[:-1] if arg.endswith(")") else arg
+            name = name.lower()
+            if name in _POSITIONAL:
+                pseudos.append(("pos",) + _POSITIONAL[name])
+            elif name in _NTH_KINDS:
+                a, b = _parse_nth(arg)
+                pseudos.append(("pos", a, b) + _NTH_KINDS[name])
+            elif name == "only-child":
+                pseudos.append(("pos", 0, 1, False, False))
+                pseudos.append(("pos", 0, 1, True, False))
+            elif name == "only-of-type":
+                pseudos.append(("pos", 0, 1, False, True))
+                pseudos.append(("pos", 0, 1, True, True))
+            elif name == "empty":
+                pseudos.append(("empty",))
+            elif name == "not":
+                pseudos.append(("not", _simple(arg.strip(), allow_pseudo=False)))
+            else:
+                raise ValueError(f"unsupported pseudo-class :{name}")
         else:
             am = _ATTR_RE.match(qual)
             if not am:
-                # covers the non-equality operators too: ^= $= *= ~= |=
-                # all fail the name-then-'=' shape and land here
                 raise ValueError(f"unsupported attribute selector {qual!r}")
-            name, val = am.group(1).lower(), am.group(2)
+            name, op, val = am.group(1).lower(), am.group(2), am.group(3)
             if val is not None and len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
                 val = val[1:-1]
-            conds.append((name, val))
-    return tag, frozenset(classes), tuple(conds)
+            conds.append((name, op, val))
+    return tag, frozenset(classes), tuple(conds), tuple(pseudos)
 
 
-def _matches(node: _Node, tag: str, classes: frozenset, conds: tuple) -> bool:
+def _attr_ok(have: str, op: str, val: str) -> bool:
+    if op == "=":
+        return have == val
+    if op == "~=":
+        return val in have.split()
+    if op == "|=":
+        return have == val or have.startswith(val + "-")
+    # per the CSS spec, ^= $= *= with an empty value match nothing
+    if op == "^=":
+        return bool(val) and have.startswith(val)
+    if op == "$=":
+        return bool(val) and have.endswith(val)
+    if op == "*=":
+        return bool(val) and val in have
+    raise ValueError(f"unsupported attribute operator {op!r}")
+
+
+def _elem_children(parent: "_Node | None", tag: str | None = None) -> list:
+    if parent is None:
+        return []
+    return [
+        c
+        for c in parent.children
+        if isinstance(c, _Node) and (tag is None or c.tag == tag)
+    ]
+
+
+def _matches(node: _Node, tag: str, classes: frozenset, conds: tuple, pseudos: tuple) -> bool:
     if not node.tag or (tag and node.tag != tag) or not classes <= node.classes:
         return False
-    for name, val in conds:
+    for name, op, val in conds:
         have = node.attrs.get(name)
-        if have is None or (val is not None and have != val):
+        if have is None or (op is not None and not _attr_ok(have, op, val)):
             return False
+    for p in pseudos:
+        if p[0] == "pos":
+            _, a, b, from_end, of_type = p
+            sibs = _elem_children(node.parent, node.tag if of_type else None)
+            pos = sibs.index(node) + 1
+            if from_end:
+                pos = len(sibs) - pos + 1
+            if not _nth_ok(a, b, pos):
+                return False
+        elif p[0] == "empty":
+            if any(
+                isinstance(c, _Node) or (isinstance(c, str) and c)
+                for c in node.children
+            ):
+                return False
+        else:  # ("not", inner_simple)
+            if _matches(node, *p[1]):
+                return False
     return True
+
+
+def _prev_elem_siblings(node: _Node) -> list:
+    sibs = _elem_children(node.parent)
+    return sibs[: sibs.index(node)]
 
 
 def _path_match(node: _Node, parts, i: int) -> bool:
     # right-to-left: node must match parts[i] with the left chain satisfied
-    if not _matches(node, parts[i][1], parts[i][2], parts[i][3]):
+    if not _matches(node, *parts[i][1:]):
         return False
     if i == 0:
         return True
-    p = node.parent
-    if parts[i][0] == ">":
+    comb = parts[i][0]
+    if comb == ">":
+        p = node.parent
         return p is not None and _path_match(p, parts, i - 1)
+    if comb == "+":
+        prev = _prev_elem_siblings(node)
+        return bool(prev) and _path_match(prev[-1], parts, i - 1)
+    if comb == "~":
+        return any(_path_match(s, parts, i - 1) for s in _prev_elem_siblings(node))
+    p = node.parent
     while p is not None:
         if _path_match(p, parts, i - 1):
             return True
@@ -231,15 +392,17 @@ def _text(node: _Node) -> str:
 
 
 def select(html_text: str, compiled) -> list[str]:
-    """All matches of a compiled selector, extracted, in document order."""
-    parts, extract = compiled
+    """All matches of a compiled selector, extracted, in document order.
+    A selector group's alternatives union per node (a node matching several
+    alternatives is still extracted once), like goquery ``Find("a, b")``."""
+    alts, extract = compiled
     out: list[str] = []
     stack = list(reversed(_parse_html(html_text).children))
     while stack:
         n = stack.pop()
         if isinstance(n, str):
             continue
-        if _path_match(n, parts, len(parts) - 1):
+        if any(_path_match(n, parts, len(parts) - 1) for parts in alts):
             if extract[0] == "text":
                 out.append(_text(n))
             else:

@@ -129,9 +129,73 @@ class TestGrammar:
         assert SEL.select_css(self.ID_DOC, "div.wrap#main > div#footer a[href]::text") == ["C"]
 
     def test_unsupported_operators_still_raise(self):
-        for bad in ('a[href^="/"]', "a[rel~=next]", "a + b", "li ~ p", "a >"):
+        # round 5 absorbed the attribute operators, sibling combinators,
+        # structural pseudo-classes and groups into the grammar; what's left
+        # out (non-structural pseudos, :has/:contains, nested :not, dangling
+        # combinators, empty group alternatives) still raises ValueError
+        # instead of silently mis-matching.
+        for bad in (
+            "a:hover",
+            "p:has(a)",
+            "p:contains(x)",
+            ":not(:first-child)",
+            ":not(a b)",
+            "li:nth-child(2n+)",
+            "a >",
+            "a +",
+            "a ~",
+            "a > > b",
+            "a, ,b",
+            "a[href!=x]",
+        ):
             with pytest.raises(ValueError):
                 SEL.compile_selector(bad)
+
+    def test_attribute_operators(self):
+        html = (
+            '<a href="/docs/intro" rel="next nofollow" lang="en-US">one</a>'
+            '<a href="/blog/post.html" rel="prev" lang="enx">two</a>'
+        )
+        assert SEL.select_css(html, 'a[href^="/docs"]') == ["one"]
+        assert SEL.select_css(html, "a[href$=.html]") == ["two"]
+        assert SEL.select_css(html, "a[href*=blog]") == ["two"]
+        assert SEL.select_css(html, "a[rel~=next]") == ["one"]
+        assert SEL.select_css(html, "a[lang|=en]") == ["one"]  # enx must NOT match
+        # spec: ^= $= *= with an empty value match nothing
+        assert SEL.select_css(html, 'a[href^=""]') == []
+
+    def test_sibling_combinators(self):
+        html = "<div><h3>t</h3><p>adj</p><p>gen</p><span>s</span><p>after</p></div>"
+        assert SEL.select_css(html, "h3 + p") == ["adj"]
+        assert SEL.select_css(html, "h3 ~ p") == ["adj", "gen", "after"]
+        assert SEL.select_css(html, "span + p") == ["after"]
+        assert SEL.select_css(html, "h3 + p + p") == ["gen"]
+
+    def test_structural_pseudo_classes(self):
+        html = (
+            "<ul><li class='x'>a</li><li>b</li><li class='x'>c</li><li>d</li></ul>"
+            "<div><p>only</p><em></em></div>"
+        )
+        assert SEL.select_css(html, "li:first-child") == ["a"]
+        assert SEL.select_css(html, "li:last-child") == ["d"]
+        assert SEL.select_css(html, "li:nth-child(odd)") == ["a", "c"]
+        assert SEL.select_css(html, "li:nth-child(2n)") == ["b", "d"]
+        assert SEL.select_css(html, "li:nth-child(3)") == ["c"]
+        assert SEL.select_css(html, "li:nth-child(-n+2)") == ["a", "b"]
+        assert SEL.select_css(html, "li:nth-last-child(1)") == ["d"]
+        assert SEL.select_css(html, "li:not(.x)") == ["b", "d"]
+        assert SEL.select_css(html, "p:only-child") == []  # em is a sibling
+        assert SEL.select_css(html, "p:only-of-type") == ["only"]
+        assert SEL.select_css(html, "em:empty") == [""]
+        assert SEL.select_css(html, "p:first-of-type") == ["only"]
+
+    def test_selector_groups_union_in_document_order(self):
+        html = "<h1>one</h1><p>mid</p><h2>two</h2>"
+        assert SEL.select_css(html, "h1, h2") == ["one", "two"]
+        assert SEL.select_css(html, "h2, h1") == ["one", "two"]  # document order
+        # a node matching several alternatives extracts once
+        assert SEL.select_css(html, "h1, *:first-child") == ["one"]
+        assert SEL.select_css(html, "h1, h1.missing, h1") == ["one"]
 
 
 class TestForgivingParse:
