@@ -105,8 +105,13 @@ def main() -> None:
         "crawl": crawl,
         "cpus": cpus,
     }
-    # attach the latest N-vs-4N evidence if a scaling run has been recorded
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    # attach the latest N-vs-4N evidence if a scaling run has been recorded;
+    # prefer the round-5 protocol-complete collection on the shipping
+    # (post-§2h/§2i) engine over the historical pre-floor-cut one
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    scaling_path = os.path.join(bench_dir, "scaling_r5_fused.json")
+    if not os.path.exists(scaling_path):
+        scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             s = json.load(f)
