@@ -134,8 +134,8 @@ def main() -> None:
                               args.max_waves, args.image_px, args.shuffle_partitions))
         p += 1
         result = {
-            "arm_a": "ckpt compiled under AQE (pre-round-4)",
-            "arm_b": "ckpt compiled statically (round 4 default)",
+            "arm_a": "ckpt compiled under AQE (engine default; keep_layout cuts are static in both arms)",
+            "arm_b": "CRAWLSPARK_CKPT_STATIC=1 (every cut compiled statically)",
             "cpus": args.cpus,
             "scale": args.scale,
             "image_px": args.image_px,
