@@ -17,7 +17,15 @@ job can realistically use — the earlier subsets survive unchanged):
     ``:only-child``, ``:nth-child(an+b|even|odd|k)``, ``:nth-last-child(…)``,
     ``:first-of-type``, ``:last-of-type``, ``:only-of-type``,
     ``:nth-of-type(…)``, ``:nth-last-of-type(…)``, ``:empty``, and
-    ``:not(compound)`` (argument is one compound, no combinators/nesting)
+    ``:not(compound)`` (argument is one compound — pseudo-classes and nested
+    ``:not`` allowed inside it, combinators not)
+  * content pseudo-classes (the cascadia/goquery extensions the reference's
+    engine ships): ``:contains(text)`` — case-insensitive substring of the
+    node's descendant text, mirroring cascadia (jQuery's variant is
+    case-sensitive); ``:has(rel)`` — CSS4 relative-selector semantics
+    (``:scope rel``): the inner chain, which may use descendant/child/sibling
+    combinators and a leading ``>``, must resolve entirely inside the
+    candidate's subtree
   * combinators: descendant (whitespace), direct child (``>``), adjacent
     sibling (``+``), general sibling (``~``)
   * selector groups: top-level commas (``h1, h2.title``) union in document
@@ -29,8 +37,10 @@ job can realistically use — the earlier subsets survive unchanged):
     whole group
 
 Still unsupported (clear ValueError, never a silent mis-match): the
-non-structural pseudo-classes (``:hover``-family, ``:has``, ``:contains``)
-and nested/grouped ``:not`` arguments.
+dynamic/UI pseudo-classes (``:hover``-family, ``:checked``, ``:focus`` —
+meaningless without a renderer), ``:has`` with a leading sibling
+combinator, combinators inside ``:not``, and quoted ``)`` inside pseudo
+arguments.
 
 Matches come back in document order, like ``Find().Each``.
 
@@ -72,11 +82,14 @@ _IMPLIED_CLOSE = {
     "option": frozenset({"option"}),
 }
 
+# pseudo-class arguments allow ONE level of nested parens so idioms like
+# ``:has(a:not(.x))`` parse; deeper nesting fails loudly at the match regex
+_PSEUDO_ARG = r"(?:\((?:[^()]|\([^()]*\))*\))?"
 _SIMPLE_RE = re.compile(
     r"^([a-zA-Z][a-zA-Z0-9-]*|\*)?"
-    r"((?:\.[\w-]+|#[\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?)*)$"
+    r"((?:\.[\w-]+|#[\w-]+|\[[^\]]+\]|:[\w-]+" + _PSEUDO_ARG + r")*)$"
 )
-_QUAL_RE = re.compile(r"\.[\w-]+|#[\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?")
+_QUAL_RE = re.compile(r"\.[\w-]+|#[\w-]+|\[[^\]]+\]|:[\w-]+" + _PSEUDO_ARG)
 _ATTR_RE = re.compile(r"^\[\s*([\w-]+)\s*(?:([~^$*|]?=)\s*(.*?)\s*)?\]$")
 # an+b micro-grammar for the :nth-* family: even | odd | b | an | an+b | an-b
 _NTH_RE = re.compile(
@@ -282,7 +295,42 @@ def _simple(token: str, allow_pseudo: bool = True) -> tuple[str, frozenset, tupl
             elif name == "empty":
                 pseudos.append(("empty",))
             elif name == "not":
-                pseudos.append(("not", _simple(arg.strip(), allow_pseudo=False)))
+                # cascadia accepts any simple-selector sequence inside :not,
+                # including pseudo-classes (`:not(:first-child)`) and nested
+                # :not — allow_pseudo stays True; recursion is compile-time
+                # finite because the argument is strictly shorter
+                pseudos.append(("not", _simple(arg.strip())))
+            elif name == "contains":
+                # goquery/cascadia `:contains(text)` — case-insensitive
+                # substring of the node's descendant text (cascadia lowers
+                # both sides; jQuery is case-sensitive — we mirror cascadia,
+                # the engine the reference actually uses)
+                text = arg.strip()
+                if len(text) >= 2 and text[0] == text[-1] and text[0] in "'\"":
+                    text = text[1:-1]
+                pseudos.append(("contains", text.lower()))
+            elif name == "has":
+                # CSS4/cascadia `:has(rel)` — the relative selector is
+                # anchored at the candidate node (`:scope rel`): every
+                # compound in the inner chain must match STRICTLY inside the
+                # candidate's subtree. A leading `>` child combinator is
+                # supported (`:has(> li)`); leading sibling combinators
+                # reference nodes outside the subtree and are rejected.
+                inner_alts = []
+                for ialt in _split_group(arg.strip()):
+                    iparts = [
+                        (comb, *_simple(tok))
+                        for comb, tok in _split_compounds(ialt.strip())
+                    ]
+                    if not iparts:
+                        raise ValueError(f"empty :has() argument in {token!r}")
+                    if iparts[0][0] in ("+", "~"):
+                        raise ValueError(
+                            ":has() with a leading sibling combinator is not "
+                            f"supported: {token!r}"
+                        )
+                    inner_alts.append(iparts)
+                pseudos.append(("has", tuple(inner_alts)))
             else:
                 raise ValueError(f"unsupported pseudo-class :{name}")
         else:
@@ -345,10 +393,66 @@ def _matches(node: _Node, tag: str, classes: frozenset, conds: tuple, pseudos: t
                 for c in node.children
             ):
                 return False
+        elif p[0] == "contains":
+            if p[1] not in _text(node).lower():
+                return False
+        elif p[0] == "has":
+            if not _has_match(node, p[1]):
+                return False
         else:  # ("not", inner_simple)
             if _matches(node, *p[1]):
                 return False
     return True
+
+
+def _has_match(boundary: _Node, inner_alts) -> bool:
+    """True iff some strict descendant of `boundary` terminates a chain of
+    `inner_alts` resolved entirely inside boundary's subtree (CSS4
+    `:has(rel)` = `:scope rel` semantics)."""
+    stack = list(reversed(boundary.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if any(
+            _path_match_bounded(n, parts, len(parts) - 1, boundary)
+            for parts in inner_alts
+        ):
+            return True
+        stack.extend(reversed(n.children))
+    return False
+
+
+def _path_match_bounded(node: _Node, parts, i: int, boundary: _Node) -> bool:
+    """_path_match confined to boundary's subtree: every compound matches a
+    node strictly below `boundary`; a leading '>' pins parts[0] to a direct
+    child of the boundary itself."""
+    if not _matches(node, *parts[i][1:]):
+        return False
+    comb = parts[i][0]
+    if i == 0:
+        return node.parent is boundary if comb == ">" else True
+    if comb == ">":
+        p = node.parent
+        return (
+            p is not None
+            and p is not boundary
+            and _path_match_bounded(p, parts, i - 1, boundary)
+        )
+    if comb == "+":
+        prev = _prev_elem_siblings(node)
+        return bool(prev) and _path_match_bounded(prev[-1], parts, i - 1, boundary)
+    if comb == "~":
+        return any(
+            _path_match_bounded(s, parts, i - 1, boundary)
+            for s in _prev_elem_siblings(node)
+        )
+    p = node.parent
+    while p is not None and p is not boundary:
+        if _path_match_bounded(p, parts, i - 1, boundary):
+            return True
+        p = p.parent
+    return False
 
 
 def _prev_elem_siblings(node: _Node) -> list:

@@ -130,15 +130,17 @@ class TestGrammar:
 
     def test_unsupported_operators_still_raise(self):
         # round 5 absorbed the attribute operators, sibling combinators,
-        # structural pseudo-classes and groups into the grammar; what's left
-        # out (non-structural pseudos, :has/:contains, nested :not, dangling
-        # combinators, empty group alternatives) still raises ValueError
-        # instead of silently mis-matching.
+        # structural pseudo-classes, groups, and then :has/:contains and
+        # pseudo-capable :not into the grammar; what's left out (dynamic/UI
+        # pseudos, :has with a leading sibling combinator, combinators
+        # inside :not, dangling combinators, empty group alternatives)
+        # still raises ValueError instead of silently mis-matching.
         for bad in (
             "a:hover",
-            "p:has(a)",
-            "p:contains(x)",
-            ":not(:first-child)",
+            "a:checked",
+            "p:has(+ a)",
+            "p:has(~ a)",
+            "p:has()",
             ":not(a b)",
             "li:nth-child(2n+)",
             "a >",
@@ -150,6 +152,54 @@ class TestGrammar:
         ):
             with pytest.raises(ValueError):
                 SEL.compile_selector(bad)
+
+    def test_contains_pseudo(self):
+        html = (
+            '<div id="a"><p>Hello World</p></div>'
+            '<div id="b"><p>other text</p></div>'
+        )
+        # cascadia semantics: case-insensitive over descendant text
+        assert SEL.select_css(html, "div:contains(hello)::attr(id)") == ["a"]
+        assert SEL.select_css(html, 'p:contains("World")') == ["Hello World"]
+        assert SEL.select_css(html, "div:contains(nowhere)") == []
+        # composes with structural pseudos on one compound
+        html2 = "<ul><li>one</li><li>two</li><li>twofold</li></ul>"
+        assert SEL.select_css(html2, "li:nth-child(2):contains(two)") == ["two"]
+        assert SEL.select_css(html2, "li:contains(two):last-child") == ["twofold"]
+
+    def test_has_pseudo(self):
+        html = (
+            '<div id="a" class="box"><p>t</p><span class="x">s</span></div>'
+            '<div id="b" class="box"><p>u</p><span class="y">v</span></div>'
+            "<ul><li>one</li></ul>"
+            '<section><article><span class="x">deep</span></article></section>'
+        )
+        assert SEL.select_css(html, "div:has(span.x)::attr(id)") == ["a"]
+        assert SEL.select_css(html, "div:has(p)::attr(id)") == ["a", "b"]
+        # relative chain resolves inside the subtree (CSS4 :scope semantics)
+        assert SEL.select_css(html, "section:has(article span.x)::text") == ["deep"]
+        # leading > pins to a direct child
+        assert SEL.select_css(html, ":has(> li)::text") == ["one"]
+        assert SEL.select_css(html, "section:has(> span.x)") == []  # not direct
+        # boundary confinement: span.x outside #b's subtree must not leak in
+        assert SEL.select_css(html, "div#b:has(span.x)") == []
+        # selector group inside :has; two :has on one compound
+        assert SEL.select_css(html, "div:has(p.z, span.y)::attr(id)") == ["b"]
+        assert SEL.select_css(html, "div:has(p):has(span.y)::attr(id)") == ["b"]
+
+    def test_not_accepts_pseudos_and_nesting(self):
+        html = "<ul><li>one</li><li class='x'>two</li><li>three</li></ul>"
+        assert SEL.select_css(html, "li:not(:first-child)") == ["two", "three"]
+        assert SEL.select_css(html, "li:not(.x):not(:first-child)") == ["three"]
+        assert SEL.select_css(html, "li:not(:not(.x))") == ["two"]
+        # :not over the content pseudos (nested parens parse one level deep)
+        html2 = (
+            '<div id="a"><p>Hello</p><span class="x">s</span></div>'
+            '<div id="b"><p>bye</p><span class="y">t</span></div>'
+        )
+        assert SEL.select_css(html2, "div:not(:contains(hello))::attr(id)") == ["b"]
+        assert SEL.select_css(html2, "div:not(:has(span.x))::attr(id)") == ["b"]
+        assert SEL.select_css(html2, "div:has(span:not(.x))::attr(id)") == ["b"]
 
     def test_attribute_operators(self):
         html = (
