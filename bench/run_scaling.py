@@ -105,7 +105,8 @@ def _bw_probe_mbps(n_mb: int = 128, reps: int = 3) -> float:
 
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
               no_images: bool, image_px: int, shuffle_partitions: int,
-              pin: bool = False) -> list[dict]:
+              pin: bool = False, bloom_bits: int | None = None,
+              leg_timeout: int = 3600) -> list[dict]:
     import time
 
     n_host_cpus = os.cpu_count() or 1
@@ -134,10 +135,13 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
         ]
         if no_images:
             cmd.append("--no-images")
+        if bloom_bits is not None:
+            cmd += ["--bloom-bits", str(bloom_bits)]
         env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM="48g")
         bw0 = _bw_probe_mbps()
         s0, t0 = _steal_jiffies(), time.monotonic()
-        res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+        res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=leg_timeout)
         s1, t1 = _steal_jiffies(), time.monotonic()
         bw1 = _bw_probe_mbps()
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
@@ -189,6 +193,12 @@ def main():
                          "N-core executor node) — without it local[N]'s "
                          "python workers overflow onto idle host cores and "
                          "the N leg gets >N cores of compute")
+    ap.add_argument("--bloom-bits", type=int, default=None,
+                    help="pass through to run_crawl.py (size the bloom tier "
+                         "to the corpus, e.g. 1<<24 for the x10sat world)")
+    ap.add_argument("--leg-timeout", type=int, default=3600,
+                    help="per-leg subprocess timeout in seconds (raise for "
+                         "big-wave worlds whose pinned small leg runs long)")
     ap.add_argument("--resume", action="store_true",
                     help="seed the interleaved collection from an existing "
                          "<out>.partial (pairs collected by a prior process "
@@ -259,7 +269,8 @@ def main():
                 runs[cpus] += run_level(cpus, args.scale, args.wave_budget,
                                         args.max_waves, 1, args.no_images,
                                         args.image_px, args.shuffle_partitions,
-                                        pin=args.pin)
+                                        pin=args.pin, bloom_bits=args.bloom_bits,
+                                        leg_timeout=args.leg_timeout)
             rep += 1
             with open(args.out + ".partial", "w") as f:
                 json.dump({"runs_n": runs[args.n], "runs_4n": runs[args.n4]}, f, indent=1)
@@ -287,7 +298,9 @@ def main():
         for cpus in (args.n, args.n4):
             outs = run_level(cpus, args.scale, args.wave_budget, args.max_waves,
                              args.reps, args.no_images, args.image_px,
-                             args.shuffle_partitions, pin=args.pin)
+                             args.shuffle_partitions, pin=args.pin,
+                             bloom_bits=args.bloom_bits,
+                             leg_timeout=args.leg_timeout)
             med = statistics.median(o["urls_per_sec"] for o in outs)
             levels[str(cpus)] = {
                 "median_urls_per_sec": med,
