@@ -106,7 +106,8 @@ def _bw_probe_mbps(n_mb: int = 128, reps: int = 3) -> float:
 def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int,
               no_images: bool, image_px: int, shuffle_partitions: int,
               pin: bool = False, bloom_bits: int | None = None,
-              leg_timeout: int = 3600) -> list[dict]:
+              leg_timeout: int = 3600, driver_mem: str = "48g",
+              keep_per_wave: bool = False) -> list[dict]:
     import time
 
     n_host_cpus = os.cpu_count() or 1
@@ -137,7 +138,7 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
             cmd.append("--no-images")
         if bloom_bits is not None:
             cmd += ["--bloom-bits", str(bloom_bits)]
-        env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM="48g")
+        env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM=driver_mem)
         bw0 = _bw_probe_mbps()
         s0, t0 = _steal_jiffies(), time.monotonic()
         res = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -148,7 +149,8 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
         if not line:
             raise RuntimeError(f"rep {rep} cpus={cpus} produced no JSON:\n{res.stderr[-2000:]}")
         d = json.loads(line[-1])
-        d.pop("per_wave", None)
+        if not keep_per_wave:
+            d.pop("per_wave", None)
         # jiffies are 10ms ticks; normalize over the whole-VM core count
         d["steal_pct"] = round(100.0 * (s1 - s0) * 0.01 / ((t1 - t0) * n_host_cpus), 2)
         d["bw_probe_mbps"] = [bw0, bw1]
@@ -199,6 +201,21 @@ def main():
     ap.add_argument("--leg-timeout", type=int, default=3600,
                     help="per-leg subprocess timeout in seconds (raise for "
                          "big-wave worlds whose pinned small leg runs long)")
+    ap.add_argument("--driver-mem", default="48g",
+                    help="JVM heap for every leg. The official pairs run "
+                         "48g at BOTH core counts — that models 'same total "
+                         "memory, 4x cores'. The north rule's N->4N "
+                         "EXECUTOR scaling carries memory with the "
+                         "executors (constant per-core); model it by giving "
+                         "each level heap proportional to its cores via "
+                         "--single-level runs (e.g. 12g at 4 cores vs 48g "
+                         "at 16).")
+    ap.add_argument("--single-level", type=int, default=None,
+                    help="collect --reps quiet-gated legs of ONE level "
+                         "(this core count) instead of N/4N pairs — for "
+                         "control experiments that vary one knob (e.g. "
+                         "--driver-mem) against an already-collected "
+                         "opposite level")
     ap.add_argument("--resume", action="store_true",
                     help="seed the interleaved collection from an existing "
                          "<out>.partial (pairs collected by a prior process "
@@ -208,6 +225,57 @@ def main():
 
     levels = {}
     pair_effs = quiet_eff = None
+    if args.single_level is not None:
+        import time
+
+        outs: list[dict] = []
+        t_start = time.monotonic()
+        while len(outs) < args.reps:
+            if time.monotonic() - t_start > args.max_hours * 3600:
+                print("  max-hours reached", flush=True)
+                break
+            if args.quiet_gate is not None:
+                if os.path.exists(BUSY_FLAG):
+                    print(f"  busy-flag {BUSY_FLAG} present — deferring leg", flush=True)
+                    time.sleep(30)
+                    continue
+                g = _steal_probe(15)
+                if g > args.quiet_gate:
+                    print(f"  steal probe {g:.2f}% > gate {args.quiet_gate}% — deferring", flush=True)
+                    time.sleep(60)
+                    continue
+                print(f"  steal probe {g:.2f}% — launching leg {len(outs)}", flush=True)
+            outs += run_level(args.single_level, args.scale, args.wave_budget,
+                              args.max_waves, 1, args.no_images, args.image_px,
+                              args.shuffle_partitions, pin=args.pin,
+                              bloom_bits=args.bloom_bits,
+                              leg_timeout=args.leg_timeout,
+                              driver_mem=args.driver_mem,
+                              keep_per_wave=True)
+            with open(args.out + ".partial", "w") as f:
+                json.dump({"runs": outs}, f, indent=1)
+        result = {
+            "scale": args.scale,
+            "image_px": args.image_px,
+            "shuffle_partitions": args.shuffle_partitions,
+            "wave_budget": args.wave_budget,
+            "max_waves": args.max_waves,
+            "single_level": args.single_level,
+            "driver_mem": args.driver_mem,
+            "pinned": bool(args.pin),
+            "quiet_gate": args.quiet_gate,
+            "median_urls_per_sec": (
+                statistics.median(o["urls_per_sec"] for o in outs) if outs else None
+            ),
+            "runs": outs,
+        }
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps({"single_level": args.single_level,
+                          "driver_mem": args.driver_mem,
+                          "median_urls_per_sec": result["median_urls_per_sec"]}))
+        return
     if args.interleave:
         import time
 
