@@ -150,6 +150,9 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--master", default=None,
+                    help="explicit master URL (e.g. local-cluster[4,4,12288] "
+                         "for real separate executor JVMs); wins over --cpus")
     ap.add_argument("--scale", default="medium")
     ap.add_argument("--wave-budget", type=int, default=50_000)
     ap.add_argument("--max-waves", type=int, default=10)
@@ -170,7 +173,7 @@ def main():
 
     from crawlspark.session import get_spark
 
-    master = f"local[{args.cpus}]" if args.cpus else None
+    master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
     extra = dict(c.split("=", 1) for c in args.conf)
     spark = get_spark(app_name="crawl-bench", master=master,
                       shuffle_partitions=args.shuffle_partitions,

@@ -107,7 +107,8 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
               no_images: bool, image_px: int, shuffle_partitions: int,
               pin: bool = False, bloom_bits: int | None = None,
               leg_timeout: int = 3600, driver_mem: str = "48g",
-              keep_per_wave: bool = False) -> list[dict]:
+              keep_per_wave: bool = False, master_tpl: str | None = None,
+              confs: list[str] | None = None) -> list[dict]:
     import time
 
     n_host_cpus = os.cpu_count() or 1
@@ -138,6 +139,16 @@ def run_level(cpus: int, scale: str, wave_budget: int, max_waves: int, reps: int
             cmd.append("--no-images")
         if bloom_bits is not None:
             cmd += ["--bloom-bits", str(bloom_bits)]
+        if master_tpl is not None:
+            # e.g. "local-cluster[{workers},4,13312]": real separate executor
+            # JVMs, `workers` scaled so workers×4 = the level's core count —
+            # the north rule's N→4N *executor* axis rather than 4× threads
+            # inside one JVM. taskset pinning above still bounds the whole
+            # process tree to `cpus` cores.
+            cmd += ["--master",
+                    master_tpl.format(cpus=cpus, workers=max(1, cpus // 4))]
+        for c in confs or []:
+            cmd += ["--conf", c]
         env = dict(os.environ, PYTHONPATH=REPO, CRAWLSPARK_DRIVER_MEM=driver_mem)
         bw0 = _bw_probe_mbps()
         s0, t0 = _steal_jiffies(), time.monotonic()
@@ -216,6 +227,14 @@ def main():
                          "control experiments that vary one knob (e.g. "
                          "--driver-mem) against an already-collected "
                          "opposite level")
+    ap.add_argument("--master-tpl", default=None,
+                    help="master URL template per leg with {cpus}/{workers} "
+                         "placeholders, e.g. 'local-cluster[{workers},4,13312]' "
+                         "for real multi-executor-JVM legs")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v forwarded to every leg "
+                         "(repeatable) — e.g. spark.local.dir=/dev/shm/... "
+                         "for the storage-channel control")
     ap.add_argument("--resume", action="store_true",
                     help="seed the interleaved collection from an existing "
                          "<out>.partial (pairs collected by a prior process "
@@ -251,7 +270,8 @@ def main():
                               bloom_bits=args.bloom_bits,
                               leg_timeout=args.leg_timeout,
                               driver_mem=args.driver_mem,
-                              keep_per_wave=True)
+                              keep_per_wave=True,
+                              master_tpl=args.master_tpl, confs=args.conf)
             with open(args.out + ".partial", "w") as f:
                 json.dump({"runs": outs}, f, indent=1)
         result = {
@@ -338,7 +358,10 @@ def main():
                                         args.max_waves, 1, args.no_images,
                                         args.image_px, args.shuffle_partitions,
                                         pin=args.pin, bloom_bits=args.bloom_bits,
-                                        leg_timeout=args.leg_timeout)
+                                        leg_timeout=args.leg_timeout,
+                                        driver_mem=args.driver_mem,
+                                        master_tpl=args.master_tpl,
+                                        confs=args.conf)
             rep += 1
             with open(args.out + ".partial", "w") as f:
                 json.dump({"runs_n": runs[args.n], "runs_4n": runs[args.n4]}, f, indent=1)
@@ -368,7 +391,9 @@ def main():
                              args.reps, args.no_images, args.image_px,
                              args.shuffle_partitions, pin=args.pin,
                              bloom_bits=args.bloom_bits,
-                             leg_timeout=args.leg_timeout)
+                             leg_timeout=args.leg_timeout,
+                             driver_mem=args.driver_mem,
+                             master_tpl=args.master_tpl, confs=args.conf)
             med = statistics.median(o["urls_per_sec"] for o in outs)
             levels[str(cpus)] = {
                 "median_urls_per_sec": med,
@@ -394,6 +419,9 @@ def main():
         "pair_efficiencies": pair_effs,
         "quiet_pair_efficiency": quiet_eff,
         "quiet_gate": args.quiet_gate,
+        "driver_mem": args.driver_mem,
+        "master_tpl": args.master_tpl,
+        "confs": args.conf,
         "measured_round": 5,
         "levels": levels,
     }

@@ -57,12 +57,20 @@ def get_spark(
     cores = os.cpu_count() or 8
     if master is None and "spark.master" in submit_preset:
         master = submit_preset["spark.master"]
+    # local-cluster[n,c,mem] spawns REAL separate executor JVMs (the
+    # multi-executor scaling controls use it); its Worker launcher resolves
+    # spark-class via SPARK_HOME, which a bare pip/conda pyspark install
+    # leaves unset — the package dir carries the needed jars and scripts.
+    os.environ.setdefault("SPARK_HOME", os.path.dirname(os.path.abspath(__import__("pyspark").__file__)))
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
     if shuffle_partitions is None and "spark.sql.shuffle.partitions" in submit_preset:
         shuffle_partitions = int(submit_preset["spark.sql.shuffle.partitions"])
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cores)
+        if "," in n:  # local-cluster[workers,cores_per_worker,mem_mb]
+            w, c = n.split(",")[:2]
+            n = int(w) * int(c)
         n = cores if n == "*" else int(n)
         shuffle_partitions = max(2 * int(n), 8)
 
