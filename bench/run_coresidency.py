@@ -89,16 +89,33 @@ def main() -> None:
             "--shuffle-partitions", str(args.shuffle_partitions),
             "--bloom-bits", str(args.bloom_bits),
         ]
+        # progress output suppressed and legs redirected to FILES, not pipes:
+        # with subprocess.PIPE and a sequential communicate() loop, legs 1..3
+        # fill their 64 KB stdout pipe with ConsoleProgressBar output and then
+        # BLOCK inside SparkContext.runJob (the progress bar's finishAll lock
+        # is held by the thread stuck writing to the full pipe), serializing
+        # the legs and voiding the co-residency measurement. Measured, not
+        # hypothetical: the first launch ran leg 0 at full speed while legs
+        # 1-3 sat deadlocked at ~5% CPU for 45 minutes.
+        cmd += ["--conf", "spark.ui.showConsoleProgress=false"]
         env = dict(os.environ, PYTHONPATH=REPO,
                    CRAWLSPARK_DRIVER_MEM=args.driver_mem)
+        out_f = open(os.path.join("/tmp", f"crawlspark_ctrlG_leg{i}.out"), "w+")
+        err_f = open(os.path.join("/tmp", f"crawlspark_ctrlG_leg{i}.err"), "w+")
         procs.append(
-            subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                             stderr=subprocess.PIPE, text=True, env=env)
+            (subprocess.Popen(cmd, stdout=out_f, stderr=err_f,
+                              text=True, env=env), out_f, err_f)
         )
 
     legs: list[dict] = []
-    for i, proc in enumerate(procs):
-        out, err = proc.communicate(timeout=args.leg_timeout)
+    for i, (proc, out_f, err_f) in enumerate(procs):
+        proc.wait(timeout=args.leg_timeout)
+        out_f.seek(0)
+        out = out_f.read()
+        err_f.seek(0)
+        err = err_f.read()
+        out_f.close()
+        err_f.close()
         lines = [ln for ln in out.splitlines() if ln.startswith("{")]
         if not lines:
             raise RuntimeError(f"leg {i} produced no JSON:\n{err[-2000:]}")
