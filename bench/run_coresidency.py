@@ -120,7 +120,9 @@ def main() -> None:
         if not lines:
             raise RuntimeError(f"leg {i} produced no JSON:\n{err[-2000:]}")
         d = json.loads(lines[-1])
-        d.pop("per_wave", None)
+        # keep per_wave: the wave-loop vs payload-teardown split is the
+        # decomposition the co-residency analysis needs (the wave loop is
+        # the contended phase; the teardown scales ~1.0)
         d["leg"] = i
         d["cores"] = f"{i * args.cores_per_leg}-{i * args.cores_per_leg + args.cores_per_leg - 1}"
         legs.append(d)
