@@ -54,6 +54,7 @@ class PartitionedBloom:
         self.m_bits = m_bits
         self.k = k
         self.bitsets = {p: np.zeros(m_bits // 8, dtype=np.uint8) for p in range(n_partitions)}
+        self._cat: np.ndarray | None = None  # concatenated packed bitsets (probe cache)
 
     def delta_agg_df(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         """LAZY distributed bitset build: per-partition bitsets computed by
@@ -84,6 +85,7 @@ class PartitionedBloom:
             self.bitsets[r["p"]] = self.bitsets[r["p"]] | np.frombuffer(
                 r["bitset"], dtype=np.uint8
             )
+        self._cat = None
 
     def add_from_df(self, df: DataFrame, hash_col: str = "url_hash") -> None:
         """Eager build: delta_agg_df + collect + merge (the one-time full
@@ -91,18 +93,30 @@ class PartitionedBloom:
         self.merge_rows(self.delta_agg_df(df, hash_col).collect())
 
     def might_contain(self, hashes: np.ndarray) -> np.ndarray:
-        """Vectorized membership for a numpy batch of int64 hashes."""
+        """Vectorized membership for a numpy batch of int64 hashes.
+
+        Probes the PACKED bitsets directly — k gather loads of one byte per
+        key from a cached concatenation of all P bitsets. The previous
+        implementation np.unpackbits'ed each partition's full bitset per
+        call: at 2 MB/partition × 16 partitions × one call per 256-row Arrow
+        batch that was ~1 MB of DRAM writes PER ROW (measured 94.6 s per 1M
+        probes; this path: 1.9 s, bit-identical — see BENCH/BASELINE.md §2n).
+        O(k) bytes touched per key, independent of m_bits and batch size."""
         out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
             return out
+        if self._cat is None:
+            self._cat = np.concatenate(
+                [self.bitsets[p] for p in range(self.n_partitions)]
+            )
         pids = np.mod(hashes.astype(np.int64), self.n_partitions)
         pids = np.where(pids < 0, pids + self.n_partitions, pids)
-        for p in np.unique(pids):
-            sel = pids == p
-            pos = _probe_positions(hashes[sel], self.m_bits, self.k)
-            bits = np.unpackbits(self.bitsets[int(p)])
-            out[sel] = bits[pos].all(axis=0)
-        return out
+        pos = _probe_positions(hashes, self.m_bits, self.k)  # k × n
+        base = pids * (self.m_bits // 8)  # byte offset of each key's bitset
+        byte = self._cat[base + (pos >> 3)]
+        # packbits is MSB-first: bool index b lands in byte b>>3 at bit 7-(b&7)
+        bit = (byte >> (7 - (pos & 7)).astype(np.uint8)) & 1
+        return bit.all(axis=0).astype(bool)
 
     def state_bytes(self) -> dict[int, bytes]:
         return {p: b.tobytes() for p, b in self.bitsets.items()}
