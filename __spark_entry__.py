@@ -38,6 +38,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# one scan split per ~128 MB of input (the spark.sql.files.maxPartitionBytes
+# default); below this a parquet file with one row group yields ONE scan task
+_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Parallelism-guarded read for tables whose downstream does heavy
+    row-local work (tokenize/shingle/hash explodes, numpy kernels).
+
+    A small parquet file with a single row group is unsplittable: the whole
+    scan — and every row-local expression fused into it — runs as ONE task
+    on one core (guide §2.5 "input skew", §6 input split size). When the
+    file is too small for the scan to parallelize on its own, rebalance with
+    one hash repartition on the row key (deterministic — never round-robin,
+    see guide §2.5 on rand-derived keys) sized to the cluster's default
+    parallelism. At real scale (inputs ≫ one split) this is a no-op, so the
+    guard never adds a corpus-wide shuffle where the scan already fans out."""
+    df = _t(spark, sf_dir, name)
+    try:
+        sz = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return df
+    if sz >= _SPLIT_BYTES:
+        return df
+    # sized to spark.sql.shuffle.partitions (not core count) so downstream
+    # key-joins/aggregations on the same key can reuse this exchange
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(key))
+
+
 def _priority_expr():
     # event_type → crawl priority class (FIXTURES.md §B mapping)
     return (
@@ -131,7 +161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorts, a scale-killer at 100×
         from crawlspark.frontier import ranked_within
 
-        ev = _t(spark, sf, "events").withColumn("priority", _priority_expr())
+        # round 6: project to the 3 needed columns BEFORE ranking —
+        # ranked_within persists its range-partitioned frame, which blocks
+        # Catalyst's column pruning, so the unprojected form shuffled and
+        # cached every events column (props is a JSON string, the widest).
+        # Guide §2.3 "project before the exchange". Output unchanged.
+        ev = (
+            _t(spark, sf, "events")
+            .withColumn("priority", _priority_expr())
+            .select("event_id", "ts", "priority")
+        )
         return ranked_within(
             ev, ["priority"], ["ts", "event_id"], "fifo_rank"
         ).select("event_id", "priority", "fifo_rank")
@@ -175,17 +214,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def backoff_eligibility(spark, sf):
         # F-14: virtual-time backoff arithmetic (scrapemate.go:398-453)
+        # round 6: the wave timestamp is folded into the plan as a broadcast
+        # 1-row aggregate instead of an eager .collect() at build time — the
+        # old form paid a full extra events scan inside the timed region and
+        # broke lazy composition (same trick as tfidf's in-plan N). Result
+        # identical: max(ts) is exact either way.
         ev = _t(spark, sf, "events")
         retry = (F.col("event_id") % 5 + 1).cast("int")
         delay = F.least(
             F.lit(100000) * F.pow(F.lit(2.0), retry - 1), F.lit(2000000.0)
         ).cast("long")
-        wave_ts = ev.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).collect()[0][0]
-        return ev.select(
+        wave = ev.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_wave_ts")
+        )
+        return ev.crossJoin(F.broadcast(wave)).select(
             "event_id",
             retry.alias("retry"),
             delay.alias("delay_us"),
-            ((F.unix_micros(F.col("ts").cast("timestamp")) + delay) <= F.lit(wave_ts - 86400000000)).alias("eligible"),
+            (
+                (F.unix_micros(F.col("ts").cast("timestamp")) + delay)
+                <= (F.col("_wave_ts") - F.lit(86400000000))
+            ).alias("eligible"),
         )
 
     q["backoff_eligibility"] = backoff_eligibility
@@ -418,36 +467,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # P-4 scalar extraction, one pass over documents: whitespace token
         # count, BPE-ish subword count (runs of alnum, ceil(len/4) pieces),
         # punctuation ratio, composite quality score, stopword language-ID
-        d = _t(spark, sf, "documents")
+        # round 6: the token array is bound to a column ONCE — the previous
+        # form re-ran the split+filter tokenization 5× per row (n_tok + one
+        # _stop_hits per language + the stop-ratio), and whole-stage codegen
+        # does not share higher-order-function subtrees (guide §4: prefer
+        # computing an expensive intermediate once). Same expressions, same
+        # rounding, identical output.
+        d = _tp(spark, sf, "documents", "doc_id")
         t = F.col("text")
         n = F.length(t)
         stripped = F.length(F.regexp_replace(t, r"[.,!?;:'\"()\-]", ""))
         pr = F.when(n > 0, (n - stripped).cast("double") / n).otherwise(F.lit(0.0))
-        n_tok = F.size(_tokens(t))
-        stop_r = _stop_hits(t, STOP_EN).cast("double") / F.greatest(n_tok, F.lit(1))
-        score = (
-            F.when((n_tok >= 5), F.lit(0.4)).otherwise(F.lit(0.0))
-            + F.least(stop_r * 4.0, F.lit(0.4))
-            + F.greatest(F.lit(0.0), F.lit(0.2) - pr)
-        )
         pieces = F.filter(F.split(t, r"[^A-Za-z0-9]+"), lambda w: w != "")
         subwords = F.aggregate(
             pieces,
             F.lit(0).cast("long"),
             lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
         )
-        en, de, fr = (_stop_hits(t, s) for s in (STOP_EN, STOP_DE, STOP_FR))
+
+        def _hits(words):
+            arr = F.array(*[F.lit(s) for s in words])
+            return F.size(F.filter(F.col("_toks"), lambda tk: F.array_contains(arr, tk)))
+
+        # `_pr` stays UNROUNDED into the score (the original summed the raw
+        # ratio before the final 6-dp round; rounding first could flip the
+        # last digit of `quality`)
+        toksed = d.select(
+            "doc_id", "lang", _tokens(t).alias("_toks"),
+            pr.alias("_pr"),
+            subwords.alias("n_subwords"),
+        )
+        n_tok = F.size(F.col("_toks"))
+        stop_r = _hits(STOP_EN).cast("double") / F.greatest(n_tok, F.lit(1))
+        score = (
+            F.when((n_tok >= 5), F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.least(stop_r * 4.0, F.lit(0.4))
+            + F.greatest(F.lit(0.0), F.lit(0.2) - F.col("_pr"))
+        )
+        en, de, fr = (_hits(s) for s in (STOP_EN, STOP_DE, STOP_FR))
         pred = (
             F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
             .when((de >= fr) & (de > 0), F.lit("de"))
             .when(fr > 0, F.lit("fr"))
             .otherwise(F.lit("und"))
         )
-        return d.select(
+        return toksed.select(
             "doc_id",
             n_tok.cast("long").alias("n_tokens"),
-            subwords.alias("n_subwords"),
-            F.round(pr, 6).alias("punct_ratio"),
+            "n_subwords",
+            F.round(F.col("_pr"), 6).alias("punct_ratio"),
             F.round(score, 6).alias("quality"),
             "lang",
             pred.alias("lang_pred"),
@@ -461,7 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round 4: absorbed the separate charshingle_sketch contract query)
         from crawlspark.datapipe.text import charshingle_sketch as sk
 
-        d = _t(spark, sf, "documents")
+        d = _tp(spark, sf, "documents", "doc_id")
         fp = _hash60(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
         return d.select(
             "doc_id",
@@ -475,15 +543,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup family ------------------------------------------------------
     def dedup_exact(spark, sf):
-        d = _t(spark, sf, "documents")
+        # round 6: one hash aggregate (min keeper + count per fingerprint,
+        # map-side partial agg) replaces TWO window functions over the same
+        # partition — the windows forced a full sort per fingerprint group
+        # and carried every row to the reducer; the aggregate ships one
+        # partial row per (partition, fingerprint). Identical output:
+        # min(doc_id) == the rn=1 row of an orderBy(doc_id) window.
+        d = _tp(spark, sf, "documents", "doc_id")
         fp = _hash60(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
-        keyed = d.select("doc_id", fp.alias("fingerprint"))
-        w = Window.partitionBy("fingerprint").orderBy("doc_id")
         return (
-            keyed.withColumn("rn", F.row_number().over(w))
-            .withColumn("dup_count", F.count("*").over(Window.partitionBy("fingerprint")))
-            .filter(F.col("rn") == 1)
-            .select(F.col("doc_id").alias("keeper"), "fingerprint", "dup_count")
+            d.select("doc_id", fp.alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").alias("keeper"),
+                F.count("*").alias("dup_count"),
+            )
+            .select("keeper", "fingerprint", "dup_count")
         )
 
     q["dedup_exact"] = dedup_exact
@@ -494,7 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_jaccard_pairs(spark, sf):
         from crawlspark.datapipe.dedup import ngram_jaccard_pairs as nj
 
-        return nj(_t(spark, sf, "documents"), min_jaccard=0.5)
+        return nj(_tp(spark, sf, "documents", "doc_id"), min_jaccard=0.5)
 
     q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
 
@@ -503,7 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered signatures — same algorithm, join-bounded)
         from crawlspark.datapipe.dedup import lsh_candidate_pairs
 
-        d = _t(spark, sf, "documents")
+        d = _tp(spark, sf, "documents", "doc_id")
         return lsh_candidate_pairs(d, k=8, bands=4).select(
             "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
         )
@@ -543,7 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale path for similarity search
         from crawlspark.datapipe.similarity import ivf_topk
 
-        e = _t(spark, sf, "embeddings").withColumn(
+        e = _tp(spark, sf, "embeddings", "vec_id").withColumn(
             "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
         )
         return ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=2)
@@ -570,7 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harness's canonicalizer can't sort/hash array<int> columns
         from crawlspark.datapipe.similarity import pq_encode as pe
 
-        e = _t(spark, sf, "embeddings").withColumn(
+        e = _tp(spark, sf, "embeddings", "vec_id").withColumn(
             "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
         )
         return pe(e, n_centroids=16, n_sub=8).select(
@@ -589,7 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compressed query path that never touches raw corpus vectors
         from crawlspark.datapipe.similarity import pq_adc_topk as pat
 
-        e = _t(spark, sf, "embeddings").withColumn(
+        e = _tp(spark, sf, "embeddings", "vec_id").withColumn(
             "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
         )
         return pat(e, e.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_sub=8)
@@ -674,7 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from crawlspark.datapipe.dedup import simhash_agg
         from crawlspark.datapipe.dedup import simhash_band_pairs as sbp
 
-        sig = simhash_agg(_t(spark, sf, "documents"), n_bits=48)
+        sig = simhash_agg(_tp(spark, sf, "documents", "doc_id"), n_bits=48)
         return sbp(sig, n_bits=48, n_bands=4, max_dist=3)
 
     q["simhash_band_pairs"] = simhash_band_pairs
@@ -685,7 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB oracle computes the same fixpoint with a recursive CTE
         from crawlspark.datapipe.dedup import neardup_components as ndc
 
-        return ndc(_t(spark, sf, "documents"), k=8, bands=4, ngram=3)
+        return ndc(_tp(spark, sf, "documents", "doc_id"), k=8, bands=4, ngram=3)
 
     q["neardup_components"] = neardup_components
 
@@ -694,7 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fraction, stopword fraction, composite keep verdict
         from crawlspark.datapipe.text import repetition_features
 
-        return repetition_features(_t(spark, sf, "documents"))
+        return repetition_features(_tp(spark, sf, "documents", "doc_id"))
 
     q["repetition_quality"] = repetition_quality
 
@@ -750,7 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the exact replacement spans cross-engine
         from crawlspark.datapipe.text import pii_counts, redact_pii
 
-        c = _t(spark, sf, "customer")
+        c = _tp(spark, sf, "customer", "c_custkey")
         text = F.concat(
             F.col("c_name"), F.lit(" user"), F.col("c_custkey").cast("string"),
             F.lit("@example.com ip 10."),
@@ -801,7 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # floor(+0.5) in both engines
         from crawlspark.datapipe.similarity import quantize_int8
 
-        return quantize_int8(_t(spark, sf, "embeddings"))
+        return quantize_int8(_tp(spark, sf, "embeddings", "vec_id"))
 
     q["embedding_quantize"] = embedding_quantize
 
@@ -810,7 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sklearn-style idf, broadcast term→df table, per-doc window
         from crawlspark.datapipe.text import tfidf_top_terms as tt
 
-        return tt(_t(spark, sf, "documents"), k=3)
+        return tt(_tp(spark, sf, "documents", "doc_id"), k=3)
 
     q["tfidf_top_terms"] = tfidf_top_terms
 
@@ -820,7 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count folded into the plan (lazy), freq join co-partitioned
         from crawlspark.datapipe.text import unigram_surprisal as us
 
-        return us(_t(spark, sf, "documents"))
+        return us(_tp(spark, sf, "documents", "doc_id"))
 
     q["unigram_surprisal"] = unigram_surprisal
 
@@ -830,7 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stripped; md5 of the reassembled text pins exact removal spans
         from crawlspark.datapipe.text import span_dedup as sd
 
-        return sd(_t(spark, sf, "documents"), window=3, max_df=1)
+        return sd(_tp(spark, sf, "documents", "doc_id"), window=3, max_df=1)
 
     q["span_dedup"] = span_dedup
 
@@ -863,7 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed two-phase cumsum (no global-order window)
         from crawlspark.datapipe.sampling import pack_sequences as ps
 
-        return ps(_t(spark, sf, "documents"), budget=512)
+        return ps(_tp(spark, sf, "documents", "doc_id"), budget=512)
 
     q["pack_sequences"] = pack_sequences
 
@@ -873,7 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst plan end-to-end; oracled as one DuckDB CTE chain
         from crawlspark.datapipe.sampling import curation_pipeline as cp
 
-        return cp(_t(spark, sf, "documents"), budget=512, sample_pct=60)
+        return cp(_tp(spark, sf, "documents", "doc_id"), budget=512, sample_pct=60)
 
     q["curation_pipeline"] = curation_pipeline
 

@@ -39,7 +39,15 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     The token array is bound to a column FIRST: an unbound tokens(text)
     expression inside the transform lambda would re-run the split+filter for
     every shingle position — O(tokens²) string work per document (measured
-    ~3× the whole pipeline's cost at sf0.1)."""
+    ~3× the whole pipeline's cost at sf0.1).
+
+    Round 6: the per-doc dedup is ROW-LOCAL (array_distinct on the gram
+    array before the explode) instead of a DataFrame .distinct() — the
+    distinct key was (doc_id, shingle), i.e. entirely within one row's
+    output, yet the old form paid a full shuffle of every shingle STRING
+    plus a two-phase hash aggregate (guide §2.4 "a distinct on data that is
+    already unique"; here: unique-per-key-by-construction). Same row set,
+    zero exchanges."""
     toksed = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )
@@ -48,9 +56,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
         lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, n), " "),
     )
     return (
-        toksed.select("doc_id", F.explode(grams).alias("shingle"))
+        toksed.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
 
 
@@ -169,20 +176,26 @@ def ngram_jaccard_pairs(
     )
     sh = sh_raw.join(rare.select("shingle"), "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Round 6: each side carries its doc's shingle-set size INTO the
+    # self-join, so the Jaccard threshold applies immediately after the
+    # pair aggregate. The previous shape re-joined `sizes` onto the pair
+    # table TWICE — at sf1.0 that pair table is 67M rows (measured), so the
+    # two joins were full passes over the fattest intermediate in the whole
+    # bench (guide §8: attach the small decision inputs to the rows BEFORE
+    # the heavy fan-out, don't re-join them after). sz is functionally
+    # determined by doc_id, so grouping by (doc, sz) pairs is the identical
+    # grouping and the output is unchanged.
+    shz = sh.join(sizes, "doc_id")
+    a = shz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = shz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
         )
@@ -295,12 +308,25 @@ def connected_components(
     finish in 2-3 rounds regardless. Per round: two shuffle joins, one
     partial agg, one LIMIT-1 convergence probe as the only driver action.
     """
+    # Round 6: both directions AND per-node self-loops come from ONE
+    # evaluation of `pairs` (a row-local explode) — the previous
+    # union-of-two-selects form contained the full candidate-pair plan twice,
+    # so the LSH band join executed once per direction. The self-loop (a,a)
+    # rows fold the "own label" term into the neighbor-min aggregate below:
+    # min over N(a) ∪ {a} == least(own, min over N(a)), which removes one
+    # whole join from every iteration (guide §2.4 remove shuffles outright).
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
-    )
+    both = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                F.struct(F.col("a"), F.col("a").alias("b")),
+                F.struct(F.col("b").alias("a"), F.col("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
+    edges = both.distinct().persist()
     # each round MUST truncate lineage (localCheckpoint is eager): an
     # iterative join chain otherwise re-derives round k from rounds 1..k-1
     # every action — the classic exponential-recompute pitfall. On a real
@@ -310,15 +336,19 @@ def connected_components(
         edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
     for _ in range(max_iter):
-        nbr = (
+        # min over N(a) ∪ {a} in ONE join+aggregate (the self-loop rows make
+        # the neighbor min include a's own label, and the `b == a` row also
+        # recovers the previous label for the convergence check) — the
+        # pre-r6 form needed a second `stepped` left-join to mix the own
+        # label back in.
+        stepped = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            F.col("comp").alias("_old"),
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("b") == F.col("a"), F.col("comp"))).alias("_old"),
+            )
+            .select(F.col("a").alias("id"), "comp", "_old")
         )
         # pointer jumping (path halving): comp := comp's own comp. Labels
         # always point at graph nodes, so the self-join is total; this is

@@ -127,18 +127,31 @@ def curation_pipeline(
     frames below live until the caller's consuming action; release them with
     datapipe.release_caches (module-docstring cache contract).
     """
-    from crawlspark.datapipe.dedup import exact_dedup
-    from crawlspark.datapipe.text import repetition_features
+    from crawlspark.datapipe.text import content_fingerprint, repetition_features
 
     # persist the fan-out points: `keepers` feeds BOTH the repetition gate
     # and the survivors join (and `repetition_features` itself branches its
     # input into array-metric and bigram-count subplans), so without a cache
-    # the dedup window + tokenization re-execute per consumer — measured 28 s
+    # the dedup + tokenization re-execute per consumer — measured 28 s
     # vs 7 s at sf0.1. At 100 TB these are the frames you'd checkpoint
     # between pipeline stages anyway.
-    keepers = (
-        exact_dedup(df, text_col, id_col).drop("fingerprint", "dup_count").persist()
+    #
+    # Round 6: keeper selection is a NARROW aggregate + id join instead of
+    # exact_dedup's row_number window — the window shuffled every surviving
+    # document's full text by fingerprint; here only (fingerprint, id) pairs
+    # shuffle (with map-side partial min), and the id join attaches text
+    # without re-keying it by fingerprint (guide §8: decide with small rows,
+    # move the heavy column once). min(id) per fingerprint == the window's
+    # rn=1 keeper, so the surviving set is identical.
+    keeper_ids = (
+        df.select(
+            F.col(id_col), content_fingerprint(F.col(text_col)).alias("_fp")
+        )
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    keepers = df.join(keeper_ids, id_col).persist()
     rep = repetition_features(keepers, text_col, id_col).filter(F.col("keep"))
     kept = keepers.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
     sampled = stratified_sample(

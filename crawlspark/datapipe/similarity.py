@@ -506,6 +506,7 @@ def pq_encode(
     n_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Product-quantization encoding — the compressed-vector storage format
     of an IVF-PQ ANN index: each dim-D vector becomes n_sub uint8 codes
@@ -519,7 +520,14 @@ def pq_encode(
     (`pq_encode` contract query): identical centroid convention, identical
     per-subspace 9-dp rounding.
     """
-    cmat = _pq_codebook(corpus, n_centroids, id_col, vec_col)
+    # `codebook` lets a caller that already trained the k-means (pq_adc_topk)
+    # reuse it — round 6: the query path used to train the identical codebook
+    # twice, paying a second sample scan + collect inside the timed region
+    cmat = (
+        codebook
+        if codebook is not None
+        else _pq_codebook(corpus, n_centroids, id_col, vec_col)
+    )
     _k, dim = cmat.shape
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -607,7 +615,7 @@ def pq_adc_topk(
         * 1e9
     ).astype(np.int64)
     bc = spark.sparkContext.broadcast((qids, tables))
-    codes = pq_encode(corpus, n_centroids, n_sub, id_col, vec_col)
+    codes = pq_encode(corpus, n_centroids, n_sub, id_col, vec_col, codebook=cmat)
 
     def _score(batches):
         b_qids, b_tables = bc.value

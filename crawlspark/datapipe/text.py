@@ -202,6 +202,11 @@ def repetition_features(
     (zero shuffle); the bigram mode needs a (doc_id, bigram) count, which is
     one explode + one partially-aggregated groupBy per doc — the only
     all-to-all traffic is one row per distinct (doc, bigram), never raw text.
+    (Round 6 trialled a zero-shuffle row-local run-length max over the
+    sorted bigram array; it measured ~20% SLOWER at sf1.0 — Catalyst
+    higher-order-function lambdas are interpreted per element with a struct
+    allocation per step, while the explode feeds whole-stage-codegen'd hash
+    aggregates — the same trade simhash_agg documents. Kept the explode.)
     """
     toksed = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
