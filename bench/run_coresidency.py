@@ -108,29 +108,44 @@ def main() -> None:
         )
 
     legs: list[dict] = []
-    for i, (proc, out_f, err_f) in enumerate(procs):
-        proc.wait(timeout=args.leg_timeout)
-        out_f.seek(0)
-        out = out_f.read()
-        err_f.seek(0)
-        err = err_f.read()
-        out_f.close()
-        err_f.close()
-        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"leg {i} produced no JSON:\n{err[-2000:]}")
-        d = json.loads(lines[-1])
-        # keep per_wave: the wave-loop vs payload-teardown split is the
-        # decomposition the co-residency analysis needs (the wave loop is
-        # the contended phase; the teardown scales ~1.0)
-        d["leg"] = i
-        d["cores"] = f"{i * args.cores_per_leg}-{i * args.cores_per_leg + args.cores_per_leg - 1}"
-        legs.append(d)
-        print(
-            f"  leg {i} (cores {d['cores']}): {d['urls_per_sec']} urls/s "
-            f"({d['wall_sec']}s, {d['waves']} waves)",
-            flush=True,
-        )
+    try:
+        for i, (proc, out_f, err_f) in enumerate(procs):
+            proc.wait(timeout=args.leg_timeout)
+            out_f.seek(0)
+            out = out_f.read()
+            err_f.seek(0)
+            err = err_f.read()
+            lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"leg {i} produced no JSON:\n{err[-2000:]}")
+            d = json.loads(lines[-1])
+            # keep per_wave: the wave-loop vs payload-teardown split is the
+            # decomposition the co-residency analysis needs (the wave loop is
+            # the contended phase; the teardown scales ~1.0)
+            d["leg"] = i
+            d["cores"] = f"{i * args.cores_per_leg}-{i * args.cores_per_leg + args.cores_per_leg - 1}"
+            legs.append(d)
+            print(
+                f"  leg {i} (cores {d['cores']}): {d['urls_per_sec']} urls/s "
+                f"({d['wall_sec']}s, {d['waves']} waves)",
+                flush=True,
+            )
+    except BaseException:
+        # a timeout / missing-JSON error must not leave sibling Spark legs
+        # running with the host status stuck at 'ctrl_G_legs_running' (the
+        # busy flag other collectors gate on) — round-6 advice fix
+        for proc, _, _ in procs:
+            if proc.poll() is None:
+                proc.kill()
+        _set_status("idle")
+        raise
+    finally:
+        for _, out_f, err_f in procs:
+            for fh in (out_f, err_f):
+                try:
+                    fh.close()
+                except Exception:
+                    pass
     s1, t1 = _steal_jiffies(), time.monotonic()
     bw1 = _bw_probe_mbps()
     _set_status("idle")

@@ -93,8 +93,15 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
         **cfg_kw,
     )
     eng = CrawlEngine(spark, pages, robots, budgets, images, cfg)
-    # force fixture materialization outside the timed region
+    # force fixture materialization outside the timed region — ALL of the
+    # synthetic world's dimension tables, not just pages/seeds: robots and
+    # budgets are persisted by the engine but were first touched inside
+    # _admit_seeds, so ~3 s of world SYNTHESIS (not crawl work) leaked into
+    # the timed wall (round-6 event-log profile: the frontier.py:55 seed-rank
+    # stages spent their time generating the robots/budgets subplans)
     eng.pages.count()
+    eng.robots.count()
+    eng.budgets.count()
     seeds.persist().count()
 
     t0 = time.monotonic()

@@ -247,6 +247,10 @@ def main():
     if args.single_level is not None:
         import time
 
+        # a custom --out in a not-yet-existing directory must not crash the
+        # first .partial snapshot inside the loop (round-6 advice fix)
+        out_dir = os.path.dirname(os.path.abspath(args.out))
+        os.makedirs(out_dir, exist_ok=True)
         outs: list[dict] = []
         t_start = time.monotonic()
         while len(outs) < args.reps:
@@ -314,6 +318,7 @@ def main():
                 if a["steal_pct"] <= 1.0 and b["steal_pct"] <= 1.0
             )
 
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
         t_start = time.monotonic()
         rep = 0
         while True:

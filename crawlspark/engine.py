@@ -75,6 +75,16 @@ class CrawlConfig:
     # Below this row count the engine joins directly (the tier is still
     # built + checkpointed either way — membership answers don't change).
     bloom_prefilter_min_seen: int = 2_000_000
+    # operating envelope of the broadcast probe (round 6, r5 verdict #4):
+    # prefilter_candidates ships ALL P bitsets to every executor, so the
+    # tier is only probe-able while n_partitions × m_bits/8 stays
+    # executor-broadcastable. Above this cap the engine auto-disables the
+    # prefilter (the exact anti-join is always the authority — results are
+    # unchanged, only the shuffle-cutting optimization switches off). At the
+    # north-rule 10^10 keys × 10 bits/key (~12 GB) the right fix is
+    # partition-routing the probe by pmod(url_hash, P); the cap makes the
+    # current broadcast probe fail SOFT instead of OOMing an executor.
+    bloom_broadcast_max_mb: int = 256
     # P-2 job-type registry (name → jobtypes.JobTypeSpec); None → the single
     # default type, which reproduces untyped crawls bit-for-bit
     job_types: dict | None = None
@@ -180,6 +190,15 @@ class CrawlEngine:
             if self.cfg.use_bloom
             else None
         )
+
+    def _bloom_broadcastable(self) -> bool:
+        """True while the tier's total packed size fits the broadcast-probe
+        envelope (bloom_broadcast_max_mb). The exact anti-join never depends
+        on this — past the cap the prefilter just switches off."""
+        if self.bloom is None:
+            return False
+        tier_bytes = self.bloom.n_partitions * (self.bloom.m_bits // 8)
+        return tier_bytes <= self.cfg.bloom_broadcast_max_mb * 1024 * 1024
 
     def _bloom_maintain(self, seen_full, seen_delta) -> None:
         """Build the bloom tier only once the seen set is big enough for the
@@ -351,6 +370,7 @@ class CrawlEngine:
         prefilter_bloom = (
             self.bloom
             if self._seen_rows >= self.cfg.bloom_prefilter_min_seen
+            and self._bloom_broadcastable()
             else None
         )
         cand = SEEN.mark_seen(cand, seen, prefilter_bloom)
@@ -964,6 +984,18 @@ class CrawlEngine:
                 order_df = self._materialize(order_df, "order", wave)
                 results_df = self._materialize(results_df, "results", wave)
                 terminal_df = self._materialize(terminal_df, "terminal", wave)
+            else:
+                # narrow the per-wave results frame before it enters the
+                # end-of-run union (round 6): each wave's results plan holds
+                # ≤ one wave's rows yet inherits the full n_shuffle width
+                # from the `out` leaf, so the union's consuming action ran
+                # waves × n_shuffle pandas-UDF tasks of ~10² rows each —
+                # per-task Arrow/worker overhead dominated the validate
+                # kernel ~10× (event-log profile: 512 tasks, 190 core-s for
+                # ~20 core-s of kernel). A coalesce is width-only (no
+                # exchange, rows and values unchanged); durable mode already
+                # writes compacted parquet instead.
+                results_df = results_df.coalesce(max(1, self._n_shuffle // 8))
             order_parts.append(order_df)
             results_parts.append(results_df)
             terminal_parts.append(terminal_df)

@@ -102,15 +102,16 @@ class PartitionedBloom:
         batch that was ~1 MB of DRAM writes PER ROW (measured 94.6 s per 1M
         probes; this path: 1.9 s, bit-identical — see BENCH/BASELINE.md §2n).
         O(k) bytes touched per key, independent of m_bits and batch size."""
-        out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
-            return out
+            return np.zeros(0, dtype=bool)
         if self._cat is None:
             self._cat = np.concatenate(
                 [self.bitsets[p] for p in range(self.n_partitions)]
             )
+        # np.mod with a positive divisor is already non-negative for negative
+        # dividends (round-6 advice: the old sign fixup and the preallocated
+        # result buffer were dead)
         pids = np.mod(hashes.astype(np.int64), self.n_partitions)
-        pids = np.where(pids < 0, pids + self.n_partitions, pids)
         pos = _probe_positions(hashes, self.m_bits, self.k)  # k × n
         base = pids * (self.m_bits // 8)  # byte offset of each key's bitset
         byte = self._cat[base + (pos >> 3)]
@@ -186,7 +187,24 @@ class CuckooFilter:
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
-        return np.fromiter((self.contains(int(h)) for h in hashes), bool, len(hashes))
+        """Vectorized twin of `contains` (round 6 — the scalar fromiter loop
+        sat one `mark_seen(..., cuckoo=ck)` call away from the hot probe
+        path, inside the same mapInPandas the bloom probe was vectorized
+        for). Fingerprint, bucket and alt-bucket are pure integer ops with
+        the same arithmetic-shift / floor-mod semantics as the scalar path
+        (int64 two's-complement low bits == Python int low bits), then two
+        row gathers over the bucket table. Bit-identical by test pin."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        h = hashes.astype(np.int64)
+        fp = (h ^ (h >> np.int64(17)) ^ (h >> np.int64(33))) & np.int64(0xFFFF)
+        fp = np.where(fp == 0, np.int64(1), fp)
+        i1 = (h >> np.int64(16)) % self.n_buckets
+        i2 = (i1 ^ (fp * np.int64(0x5BD1E995))) % self.n_buckets
+        fpc = fp.astype(np.uint16)[:, None]
+        return (self.table[i1] == fpc).any(axis=1) | (
+            self.table[i2] == fpc
+        ).any(axis=1)
 
     def delete(self, h: int) -> bool:
         fp = self._fp(h)

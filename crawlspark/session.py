@@ -68,9 +68,14 @@ def get_spark(
         shuffle_partitions = int(submit_preset["spark.sql.shuffle.partitions"])
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cores)
-        if "," in n:  # local-cluster[workers,cores_per_worker,mem_mb]
+        if "," in n and master.startswith("local-cluster"):
+            # local-cluster[workers,cores_per_worker,mem_mb]; a plain
+            # local[N,maxFailures] master also carries a comma but its first
+            # field is already the core count (round-6 advice fix)
             w, c = n.split(",")[:2]
             n = int(w) * int(c)
+        elif "," in n:  # local[N,maxFailures] — cores is the first field
+            n = n.split(",")[0]
         n = cores if n == "*" else int(n)
         shuffle_partitions = max(2 * int(n), 8)
 

@@ -67,3 +67,62 @@ def test_tiered_dedup_exact_vs_plain_anti_join(spark):
     want = sorted(r.id for r in plain.collect())
     assert got == want  # tiers can never change the answer
     assert len(got) == 2000
+
+
+def test_cuckoo_contains_many_matches_scalar():
+    # round 6: contains_many is a numpy batch kernel — pin it bit-identical
+    # to the scalar contains() over inserted, absent, and NEGATIVE hashes
+    # (int64 arithmetic-shift / floor-mod semantics must match Python ints)
+    import numpy as np
+
+    ck = SEEN.CuckooFilter(1 << 10)
+    rng = np.random.Generator(np.random.PCG64(99))
+    inserted = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+    for h in inserted:
+        ck.insert(int(h))
+    absent = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+    probe = np.concatenate([inserted, absent])
+    got = ck.contains_many(probe)
+    want = np.array([ck.contains(int(h)) for h in probe], dtype=bool)
+    assert (got == want).all()
+    assert got[: len(inserted)].all()  # no false negatives for inserted keys
+    assert ck.contains_many(np.array([], dtype=np.int64)).shape == (0,)
+
+
+def test_bloom_prefilter_broadcast_envelope(spark):
+    # round 6 (r5 verdict #4): the broadcast probe auto-disables once the
+    # tier exceeds the configured executor-broadcastable envelope — the
+    # exact anti-join authority is unaffected, only the prefilter gates off
+    from crawlspark.engine import CrawlConfig, CrawlEngine
+    from crawlspark import synth
+
+    world = synth.make_world(n_hosts=2, total_pages=20)
+    small = CrawlEngine(
+        spark,
+        pages=synth.pages_df(spark, world),
+        robots=synth.robots_df(spark, world),
+        budgets=synth.politeness_df(spark, world),
+        config=CrawlConfig(use_bloom=True, bloom_partitions=4, bloom_bits=1 << 16),
+    )
+    assert small._bloom_broadcastable()  # 4 × 8 KB ≪ 256 MB default
+
+    big = CrawlEngine(
+        spark,
+        pages=synth.pages_df(spark, world),
+        robots=synth.robots_df(spark, world),
+        budgets=synth.politeness_df(spark, world),
+        config=CrawlConfig(
+            use_bloom=True, bloom_partitions=4, bloom_bits=1 << 16,
+            bloom_broadcast_max_mb=0,
+        ),
+    )
+    assert not big._bloom_broadcastable()  # 0 MB cap → prefilter must gate off
+
+    off = CrawlEngine(
+        spark,
+        pages=synth.pages_df(spark, world),
+        robots=synth.robots_df(spark, world),
+        budgets=synth.politeness_df(spark, world),
+        config=CrawlConfig(use_bloom=False),
+    )
+    assert not off._bloom_broadcastable()
