@@ -83,6 +83,7 @@ def pack_sequences(
     budget: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequential sequence packing: documents in deterministic id
     order are concatenated into bins of ≈`budget` tokens — bin k holds the
@@ -91,11 +92,16 @@ def pack_sequences(
     examples; a doc longer than the budget claims its bins alone.
 
     Returns (doc_id, n_tokens, bin). Cost: one range shuffle (the
-    distributed cumsum); bin assignment is a row-local expression."""
+    distributed cumsum); bin assignment is a row-local expression.
+    `n_tokens_col` (round 6): callers with a precomputed token count (e.g.
+    curation_pipeline's tokenized keepers) pass it to skip re-tokenizing."""
     from crawlspark.datapipe.text import token_count
 
     sized = df.select(
-        F.col(id_col).alias("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
+        F.col(id_col).alias("doc_id"),
+        (
+            F.col(n_tokens_col) if n_tokens_col else token_count(F.col(text_col))
+        ).alias("n_tokens"),
     )
     cum = scan_cumsum(sized, "doc_id", "n_tokens", "cum")
     return cum.select(
@@ -151,14 +157,31 @@ def curation_pipeline(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    keepers = df.join(keeper_ids, id_col).persist()
-    rep = repetition_features(keepers, text_col, id_col).filter(F.col("keep"))
+    # tokenize the survivors ONCE at the persisted fan-out point and drop the
+    # raw text: the repetition gate's two branches and the packer's token
+    # count all read `_toks` instead of re-running split+filter per consumer
+    # (round 6 — tokenization was the pipeline's most repeated computation,
+    # measured ~3 s of the ~10 s total at sf1.0; the cached frame also
+    # shrinks, since the token array replaces text + unused columns).
+    from crawlspark.datapipe.text import tokens
+
+    keepers = (
+        df.join(keeper_ids, id_col)
+        .select(id_col, strata_col, tokens(F.col(text_col)).alias("_toks"))
+        .persist()
+    )
+    rep = repetition_features(keepers, text_col, id_col, toks_col="_toks").filter(
+        F.col("keep")
+    )
     kept = keepers.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
     sampled = stratified_sample(
         kept, strata_col=strata_col, id_col=id_col,
         default_pct=sample_pct, salt=salt,
     ).persist()
-    return pack_sequences(sampled, budget=budget, id_col=id_col, text_col=text_col)
+    return pack_sequences(
+        sampled.withColumn("_ntok", F.size("_toks")),
+        budget=budget, id_col=id_col, n_tokens_col="_ntok",
+    )
 
 
 def domain_mix_cap(

@@ -187,7 +187,10 @@ def _grams(toks: Column, n: int) -> Column:
 
 
 def repetition_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style repetition gates per document:
 
@@ -207,9 +210,14 @@ def repetition_features(
     higher-order-function lambdas are interpreted per element with a struct
     allocation per step, while the explode feeds whole-stage-codegen'd hash
     aggregates — the same trade simhash_agg documents. Kept the explode.)
+    `toks_col` (round 6): callers that already hold the token array (e.g.
+    curation_pipeline, which persists tokenized keepers once and feeds both
+    this gate and sequence packing) pass it here to skip re-tokenizing —
+    tokenization was the pipeline's single most repeated computation.
     """
     toksed = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        (F.col(toks_col) if toks_col else tokens(F.col(text_col))).alias("_toks"),
     )
     g5 = _grams(F.col("_toks"), 5)
     dup5 = F.when(

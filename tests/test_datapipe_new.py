@@ -456,3 +456,33 @@ def test_embedding_neardup_recall_floor_at_090(spark):
         ).collect()
     }
     assert len(got1) <= len(got)
+
+
+def test_pretokenized_variants_match_default(spark):
+    # round 6: repetition_features(toks_col=...) and
+    # pack_sequences(n_tokens_col=...) must equal the text-path defaults
+    # (curation_pipeline feeds both from one persisted tokenization)
+    from pyspark.sql import functions as F
+
+    from crawlspark.datapipe.sampling import pack_sequences
+    from crawlspark.datapipe.text import repetition_features, tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dt = d.withColumn("_toks", tokens(F.col("text")))
+
+    a = sorted(map(tuple, repetition_features(d).collect()))
+    b = sorted(map(tuple, repetition_features(dt, toks_col="_toks").collect()))
+    assert a == b
+
+    p = sorted(map(tuple, pack_sequences(d, budget=512).collect()))
+    q = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                dt.withColumn("_ntok", F.size("_toks")),
+                budget=512,
+                n_tokens_col="_ntok",
+            ).collect(),
+        )
+    )
+    assert p == q
