@@ -103,6 +103,24 @@ def lsh_candidate_pairs(
     match fraction is a zip_with — the only shuffles are the one signature
     groupBy and the bucket self-join.
     """
+    sig, cand = _lsh_sig_and_candidates(df, text_col, id_col, k, bands, ngram)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(k)).alias("est_jaccard"))
+    )
+
+
+def _lsh_sig_and_candidates(
+    df: DataFrame, text_col: str, id_col: str, k: int, bands: int, ngram: int
+):
+    """Shared core of lsh_candidate_pairs / neardup_components: the persisted
+    signature frame and the distinct banded candidate pairs (round 6 split —
+    neardup only consumes the PAIRS, so building est_jaccard there paid two
+    join passes over the candidate set that Catalyst cannot prune away)."""
     # persist: the signature frame feeds the band keys AND both sides of the
     # candidate re-join — uncached, the full shingle+hash pipeline would run
     # three times (at 100 TB signatures are narrow: k longs per doc)
@@ -131,14 +149,7 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", (matches / F.lit(k)).alias("est_jaccard"))
-    )
+    return sig, cand
 
 
 def ngram_jaccard_pairs(
@@ -388,8 +399,13 @@ def neardup_components(
     """The full dedup-cluster pipeline: MinHash-LSH candidates → connected
     components → canonical doc per cluster. Returns one row per document:
     (doc_id, component, is_canonical); singleton docs are their own
-    component. A 100-TB pipeline keeps rows where is_canonical."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, k=k, bands=bands, ngram=ngram)
+    component. A 100-TB pipeline keeps rows where is_canonical.
+
+    Round 6: consumes the banded CANDIDATE pairs directly — the graph only
+    needs (doc_a, doc_b), and the est_jaccard scoring joins
+    lsh_candidate_pairs adds are inner joins Catalyst cannot prune away, so
+    building them here paid two pointless passes over the candidate set."""
+    _sig, pairs = _lsh_sig_and_candidates(df, text_col, id_col, k, bands, ngram)
     comp = connected_components(pairs)
     return (
         df.select(F.col(id_col).alias("doc_id"))
