@@ -277,8 +277,15 @@ class CrawlEngine:
         s = s.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
         allowed, blocked = politeness.robots_gate(s, self.robots)
-        allowed, n_allowed = frontier.with_global_rank(allowed, ("seed_order",), "_srank")
-        self._n_seed_allowed = n_allowed
+        # Round 6 (second pass): the seed rank is LAZY (with_inspark_rank) —
+        # the old with_global_rank paid a dedicated persist + driver collect
+        # inside the timed wall just to number ≤ n_seeds rows. For the unique
+        # seed_order key both forms compute the identical global rank
+        # (rank-within-partition + preceding-partition offsets is partition-
+        # boundary-independent), and the seed/seen counts the driver needs
+        # ride ONE fused aggregate in run() instead of three sequential
+        # actions (same union-by-_kind trick as the per-wave fused action).
+        allowed = frontier.with_inspark_rank(allowed, ("seed_order",), "_srank")
         pending = (
             allowed.withColumn("seq", (F.col("_srank") - 1).cast("long"))
             .withColumn("parent_id", F.lit(None).cast("string"))
@@ -669,12 +676,28 @@ class CrawlEngine:
             seen = self._materialize(seen_delta, "seen", 0)
             blocked_term = self._materialize(blocked_term, "terminal", 0)
             terminal_parts.append(blocked_term)
+            # ONE setup action (round 6 second pass; was three sequential
+            # driver round-trips: the seed-rank collect inside _admit_seeds,
+            # an is_init count, and seen.count()): the pending stats and the
+            # seen count ride a single fused collect — the same union-by-
+            # _kind shape as the per-wave fused action, so both lazy
+            # checkpoint cuts materialize inside one job's stages too.
+            fused0 = pending.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("is_init").cast("long")).alias("n_init"),
+            ).select(F.lit("p").alias("_kind"), "n", "n_init").unionByName(
+                seen.agg(F.count("*").alias("n")).select(
+                    F.lit("s").alias("_kind"), "n"
+                ),
+                allowMissingColumns=True,
+            )
+            srows = {r["_kind"]: r for r in self._retry_action(fused0.collect)}
+            self._n_seed_allowed = int(srows["p"]["n"])
             seq_base = self._n_seed_allowed
             n_pending = self._n_seed_allowed
-            # one-time setup action (not per-wave): how many seeds open an
-            # init BFS phase (F-5, scrapemate.go:489-523)
-            n_init_pending = pending.filter("is_init").count()
-            self._seen_rows = seen.count()
+            # how many seeds open an init BFS phase (F-5, scrapemate.go:489-523)
+            n_init_pending = int(srows["p"]["n_init"] or 0)
+            self._seen_rows = int(srows["s"]["n"])
             self._bloom_maintain(seen, seen)
             if self.io:
                 self.io.commit_manifest(
