@@ -114,9 +114,14 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
     # passes together were 137 AQE stage-jobs with ~120 s of scheduling
     # dead time at tiny budget — pure serial floor, paid once now).
     spark.sparkContext.setJobGroup("teardown", "end-of-run output materialization")
-    results = run.results.persist()
-    results.write.format("noop").mode("overwrite").save()
-    n_results = results.count()
+    # the end-of-run union compiles HERE (lazy memory-mode outputs), so the
+    # engine's execution-mode choice must cover this consumption too — the
+    # union of every wave's plan is the biggest single codegen unit of the
+    # whole run (round 6: interpreted below the wave-budget crossover)
+    with eng.exec_mode():
+        results = run.results.persist()
+        results.write.format("noop").mode("overwrite").save()
+        n_results = results.count()
     wall = time.monotonic() - t0
 
     sched = sum(m["scheduled"] for m in run.metrics)

@@ -112,6 +112,20 @@ class CrawlConfig:
     payload_mode: str = "table"
     payload_px: int = 128  # synthetic-mode image edge length
     workdir: str | None = None  # set → durable checkpoints + resume
+    # Execution-mode crossover (round 6, guide §1.2 "per-task work"): every
+    # wave's plans embed wave-varying literals (wave_ts, seq watermarks, the
+    # wave number), and Spark inlines primitive literals into the generated
+    # Java source, so whole-stage codegen janino-RECOMPILES the wave pipeline
+    # every wave — compile cost scales with PLANS (≈1s/wave measured at
+    # medium scale), execution cost with ROWS. Below this wave_budget the
+    # engine plans its frames in interpreted mode (wholeStage off,
+    # factoryMode NO_CODEGEN: identical semantics, zero compile): interleaved
+    # A/B at the 50k-budget bench scale reads 25.7/27.7 s wave-sum
+    # interpreted vs 31.2/29.1 codegen. Above it (e.g. the 1M-row xsat
+    # waves), per-row interpreted overhead (~µs/row × ~30 exprs) outgrows
+    # the ~1s/wave compile and codegen stays on — the same measure-first
+    # crossover reasoning as bloom_prefilter_min_seen.
+    interpreted_below_wave_budget: int = 200_000
 
 
 @dataclass
@@ -215,6 +229,34 @@ class CrawlEngine:
         if not getattr(self, "_bloom_synced", False):
             self.bloom.add_from_df(seen_full)
             self._bloom_synced = True
+
+    def exec_mode(self):
+        """Context manager applying the engine's execution-mode choice
+        (CrawlConfig.interpreted_below_wave_budget): small-wave runs plan in
+        interpreted mode so the per-wave janino recompile of literal-bearing
+        plans disappears; big-wave runs keep codegen. run() wraps the BSP
+        loop in this; callers that materialize a CrawlRun's lazy outputs
+        AFTER run() returns (the end-of-run results union compiles there)
+        can wrap that consumption too."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            conf = self.spark.conf
+            if self.cfg.wave_budget > self.cfg.interpreted_below_wave_budget:
+                yield
+                return
+            prev_ws = conf.get("spark.sql.codegen.wholeStage", "true")
+            prev_fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+            try:
+                conf.set("spark.sql.codegen.wholeStage", "false")
+                conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+                yield
+            finally:
+                conf.set("spark.sql.codegen.wholeStage", prev_ws)
+                conf.set("spark.sql.codegen.factoryMode", prev_fm)
+
+        return _cm()
 
     def _retry_action(self, fn, attempts: int = 3, delay_s: float = 1.0):
         """F-4 provider-error restart analog (scrapemate.go:532-543: log,
@@ -623,6 +665,10 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def run(self, seeds: DataFrame, resume: bool = False) -> CrawlRun:
+        with self.exec_mode():
+            return self._run(seeds, resume)
+
+    def _run(self, seeds: DataFrame, resume: bool = False) -> CrawlRun:
         spark = self.spark
         cfg = self.cfg
         t0 = time.monotonic()
