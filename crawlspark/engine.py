@@ -380,10 +380,14 @@ class CrawlEngine:
             F.posexplode("out_links").alias("link_pos", "url"),
         )
         cand = urlnorm.with_url_columns(
-            parents.withColumn("url_params", F.lit(None).cast("map<string,string>"))
-            .withColumn("method", F.lit("GET"))
-            .withColumn("body", F.lit(None).cast("binary"))
-            .withColumn("headers", F.lit(None).cast("map<string,string>")),
+            parents.withColumns(
+                {
+                    "url_params": F.lit(None).cast("map<string,string>"),
+                    "method": F.lit("GET"),
+                    "body": F.lit(None).cast("binary"),
+                    "headers": F.lit(None).cast("map<string,string>"),
+                }
+            ),
             self.cfg.host_buckets,
         ).withColumn(
             "job_id",
@@ -398,18 +402,22 @@ class CrawlEngine:
         # before dedup, exactly like user Process code that ignores it.
         path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("/"))
         ce = jobtypes.child_column_exprs(self.specs, F.col("_parent_type"), path)
-        cand = (
-            cand.withColumn("job_type", ce["child_type"])
-            .filter(F.col("job_type").isNotNull())
-            .withColumn(
-                "priority",
-                frontier.normalize_priority(F.coalesce(ce["child_priority"], F.col("priority"))),
-            )
-            .withColumn("max_retries", F.coalesce(ce["child_max_retries"], F.col("max_retries")))
-            .withColumn("timeout_us", F.coalesce(ce["child_timeout_us"], F.col("timeout_us")))
-            # children are fresh jobs: UseInResults defaults true (job.go:112-114)
-            .withColumn("use_in_results", F.coalesce(ce["child_use_in_results"], F.lit(True)))
-        )
+        # one projection (withColumns): the overrides all read PARENT columns
+        # and ce[...] (never each other), so batching them is the identical
+        # projection with one analysis pass instead of five; the unclaimed-
+        # link filter needs only job_type and commutes with the overrides.
+        # children are fresh jobs: UseInResults defaults true (job.go:112-114)
+        cand = cand.withColumns(
+            {
+                "job_type": ce["child_type"],
+                "priority": frontier.normalize_priority(
+                    F.coalesce(ce["child_priority"], F.col("priority"))
+                ),
+                "max_retries": F.coalesce(ce["child_max_retries"], F.col("max_retries")),
+                "timeout_us": F.coalesce(ce["child_timeout_us"], F.col("timeout_us")),
+                "use_in_results": F.coalesce(ce["child_use_in_results"], F.lit(True)),
+            }
+        ).filter(F.col("job_type").isNotNull())
 
         # in-batch dedup flag: first occurrence by (parent_rank, link_pos)
         # wins — the order parents push children in (scrapemate_test.go:445-534)
@@ -452,17 +460,20 @@ class CrawlEngine:
         parted = (
             cand.withColumn("_pid", bucket)
             .repartition(nb, "_pid")
-            .withColumn("_fresh", fresh)
-            .withColumn("_admit", admit)
-            .withColumn(
-                # running count of admitted rows = 1-based rank for admit rows
-                # ((parent_rank, link_pos) is unique, so the frame is exact)
-                "_arn",
-                F.sum(F.when(F.col("_admit"), 1).otherwise(0)).over(
-                    Window.partitionBy("_pid")
-                    .orderBy(*order)
-                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
+            .withColumns(
+                {
+                    "_fresh": fresh,
+                    "_admit": admit,
+                    # running count of admitted rows = 1-based rank for admit
+                    # rows ((parent_rank, link_pos) is unique → exact frame).
+                    # `admit` is inlined (not F.col("_admit")) so all three
+                    # land in ONE projection/analysis pass.
+                    "_arn": F.sum(F.when(admit, 1).otherwise(0)).over(
+                        Window.partitionBy("_pid")
+                        .orderBy(*order)
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                }
             )
         )
         # RDD leaf (not .persist): shared by the fused action's ex_agg branch

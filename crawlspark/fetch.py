@@ -245,23 +245,32 @@ def apply_outcomes(fetched: DataFrame, wave_ts_us: int) -> DataFrame:
     # pin the incremented count in its own column FIRST: column expressions
     # resolve lazily against the frame they are applied to, so computing the
     # backoff from `retry_count + 1` after retry_count has been overwritten
-    # would silently double-increment inside the delay lookup
-    out = fetched.withColumn("outcome", outcome).withColumn(
-        "_rc_next",
-        F.when(F.col("outcome") == "retry", F.col("retry_count") + 1)
-        .otherwise(F.col("retry_count"))
-        .cast("int"),
+    # would silently double-increment inside the delay lookup. Both columns
+    # of each withColumns batch read only PRIOR-frame columns (the _rc_next
+    # batch inlines the outcome expression), so the batching is the identical
+    # projection with fewer eager analysis passes (round 6 — this helper runs
+    # inside every wave's plan build).
+    out = fetched.withColumns(
+        {
+            "outcome": outcome,
+            "_rc_next": F.when(outcome == "retry", F.col("retry_count") + 1)
+            .otherwise(F.col("retry_count"))
+            .cast("int"),
+        }
     )
     delay = F.when(
         F.col("retry_policy") == C.REFRESH_IP, F.lit(0).cast("long")
     ).otherwise(backoff_delay_expr(F.col("_rc_next"), F.col("max_retry_delay_us")))
     return (
-        out.withColumn(
-            "not_before_us",
-            F.when(F.col("outcome") == "retry", F.lit(wave_ts_us) + delay)
-            .otherwise(F.col("not_before_us"))
-            .cast("long"),
+        out.withColumns(
+            {
+                "not_before_us": F.when(
+                    F.col("outcome") == "retry", F.lit(wave_ts_us) + delay
+                )
+                .otherwise(F.col("not_before_us"))
+                .cast("long"),
+                "retry_count": F.col("_rc_next"),
+            }
         )
-        .withColumn("retry_count", F.col("_rc_next"))
         .drop("_rc_next")
     )

@@ -108,12 +108,18 @@ def with_url_columns(df, n_buckets: int = DEFAULT_HOST_BUCKETS):
     holding raw (url, url_params, method, body) — one projection, no shuffle."""
     full = full_url(F.col("url"), F.col("url_params"))
     canon = canonicalize(full)
+    # three projections, not five: every classic-API transformation eagerly
+    # re-analyzes the whole accumulated tree, and this helper sits inside the
+    # per-wave expansion plan build — batching the independent columns with
+    # withColumns keeps the derivation chain (canon → hash/key/host → bucket)
+    # while halving the analysis passes (round 6; engine dedup key note: the
+    # reference's GetCacheKey applied to the CANONICAL url, F-9 extension)
     df = df.withColumn("url_canon", canon)
-    df = df.withColumn("url_hash", url_hash(F.col("url_canon")))
-    # Engine dedup key: the reference's GetCacheKey function applied to the
-    # CANONICAL url (so case/port/fragment variants fold — F-9 extension).
-    df = df.withColumn(
-        "cache_key", cache_key(F.col("method"), F.col("url_canon"), F.col("body"))
+    df = df.withColumns(
+        {
+            "url_hash": url_hash(F.col("url_canon")),
+            "cache_key": cache_key(F.col("method"), F.col("url_canon"), F.col("body")),
+            "host": url_host(F.col("url_canon")),
+        }
     )
-    df = df.withColumn("host", url_host(F.col("url_canon")))
     return df.withColumn("host_bucket", host_bucket(F.col("host"), n_buckets))
