@@ -51,12 +51,34 @@ def test_connected_components_chain_needs_multiple_rounds(spark):
 
 def test_connected_components_log_rounds_via_pointer_jumping(spark):
     # 16-node path: plain min-propagation needs 15 rounds; with path halving
-    # it must finish within 7 — max_iter=7 pins the O(log diameter) claim
+    # it must finish within 7 — max_iter=7 pins the O(log diameter) claim.
+    # driver_max_edges=0 forces the DISTRIBUTED path (round 6: small graphs
+    # short-circuit to a driver union-find), which this test exists to pin.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 16)], "doc_a long, doc_b long"
     )
-    got = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=7).collect()}
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, max_iter=7, driver_max_edges=0).collect()
+    }
     assert got == {i: 1 for i in range(1, 17)}
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    # round 6: the small-graph union-find short-circuit must be bit-identical
+    # to the iterative min-label loop on an awkward graph (chains, a clique,
+    # singleton self-pair, unordered ids) — same rows, same schema
+    raw = [(5, 6), (4, 5), (9, 2), (2, 7), (30, 30), (21, 20), (20, 22), (21, 22)]
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    fast = connected_components(pairs)
+    slow = connected_components(pairs, driver_max_edges=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).collect() == []
 
 
 def test_neardup_components_clusters_duplicates(spark):
