@@ -23,6 +23,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve via globals
+
 # allow running from anywhere (spark-submit --py-files covers the cluster case)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -103,6 +105,23 @@ def run_crawl_bench(spark, scale: str = "medium", wave_budget: int = 50_000,
     eng.robots.count()
     eng.budgets.count()
     seeds.persist().count()
+    # python-worker pool warmup, also pre-t0: the teardown's validate UDF is
+    # otherwise the process's FIRST pandas-UDF stage in a standalone crawl
+    # run, and the measured cold burst (spawn + import per worker, ~4-13 s
+    # across 32 workers) would land inside the timed wall. In the full bench
+    # the query warmup already warms the same pool — this makes standalone
+    # runs measure the same steady state (BASELINE.md §3: fixtures and
+    # runtime warmup outside the timed region).
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    n_warm = 2 * (os.cpu_count() or 8)
+    spark.range(0, n_warm, 1, n_warm).select(
+        _warm("id")
+    ).write.format("noop").mode("overwrite").save()
 
     t0 = time.monotonic()
     run = eng.run(seeds)
