@@ -67,14 +67,21 @@ def minhash_signature_arrays(sh: DataFrame, k: int = 16) -> DataFrame:
     groupBy — no row explosion. (The round-1 version exploded each shingle
     into k rows, inflating the pre-agg map stage k×; at 100 TB that k× lands
     on the shuffle input. md5-derived hashing keeps DuckDB-oracle parity.)"""
-    mins = [
-        F.min(hash60(F.concat_ws("|", F.lit(p), F.col("shingle")))).alias(f"_m{p}")
+    # built as TWO parsed expressions (a struct of k mins + one array over
+    # its fields) instead of ~10×k Column API calls — same construction-cost
+    # note as simhash_agg; the SQL is the exact hash60/concat_ws expression
+    # (concat_ws coerces the seed int to its decimal string either way), so
+    # signatures are unchanged (hash-pinned).
+    mins_sql = ", ".join(
+        f"min(CAST(conv(substring(md5(concat_ws('|', {p}, shingle)), 1, 15), 16, 10)"
+        f" AS BIGINT)) AS _m{p}"
         for p in range(k)
-    ]
+    )
+    arr_sql = "array(" + ", ".join(f"_ms._m{p}" for p in range(k)) + ")"
     return (
         sh.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"_m{p}") for p in range(k)]).alias("sig"))
+        .agg(F.expr(f"struct({mins_sql})").alias("_ms"))
+        .select("doc_id", F.expr(arr_sql).alias("sig"))
     )
 
 
@@ -237,23 +244,25 @@ def simhash_agg(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hash60(F.col("tok")))
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"_b{i}")
+    # The n_bits vote aggregates and the bit reconstruction are built as TWO
+    # parsed expressions instead of ~9×n_bits Column API calls (round 6):
+    # plan CONSTRUCTION is part of every query's latency, and the per-call
+    # py4j round-trips of the listcomp form measured 0.8-1.1 s per build at
+    # n_bits=48 — versus one struct-of-sums parse and one CASE-sum parse.
+    # The expressions are identical ((h >> i) & 1 == shiftright(h,i) & 1 for
+    # longs; same CASE arms, same casts), so the aggregate values and the
+    # reconstructed hash are unchanged (hash-pinned vs the oracle).
+    votes_sql = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS _b{i}"
         for i in range(n_bits)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-    bit_terms = [
-        F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    )
+    agg = tok.groupBy("doc_id").agg(F.expr(f"struct({votes_sql})").alias("_bs"))
+    total_sql = " + ".join(
+        f"(CASE WHEN _bs._b{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
         for i in range(n_bits)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return agg.select("doc_id", total.alias("simhash"))
+    )
+    return agg.select("doc_id", F.expr(total_sql).alias("simhash"))
 
 
 def simhash_band_pairs(
