@@ -1030,10 +1030,19 @@ class CrawlEngine:
             n_init_pending = n_init_pending - n_sched_init + n_retried_init + n_allowed_init
 
             retried = out.filter(F.col("outcome") == "retry").select(*PENDING_COLS)
+            # width-only narrowing of the union branches (round 6 second
+            # pass): each branch is a filter over a 64-partition leaf, so the
+            # snapshot repartition's MAP side otherwise runs 4×n_shuffle
+            # tiny tasks per wave (~40 rows each — event-log: a 256-task
+            # 0.9 s stage that is mostly scheduling). coalesce is exchange-
+            # free and value-preserving; ≤ a wave's rows keep ample
+            # parallelism at n_shuffle/4 per branch.
+            nbq = max(1, self._n_shuffle // 4)
             new_pending = (
-                future.unionByName(leftover)
-                .unionByName(retried)
-                .unionByName(admitted)
+                future.coalesce(nbq)
+                .unionByName(leftover.coalesce(nbq))
+                .unionByName(retried.coalesce(nbq))
+                .unionByName(admitted.coalesce(nbq))
             )
             # re-bucket + sort the frontier snapshot: without this the union
             # chain inflates partition counts O(waves²); with it the next
