@@ -30,12 +30,22 @@ def _settled_baseline(spark, timeout_s: float = 15.0) -> int:
 
     release_caches(spark)
     n = _n_cached(spark)
+    stable = 0
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         time.sleep(0.3)
         m = _n_cached(spark)
+        # require several consecutive non-falling readings: a single pause
+        # in the context cleaner's drain otherwise returns an INFLATED
+        # baseline, and when the leftover blocks finish draining during the
+        # operator run the `> base` probe silently never fires (the flake
+        # this suite saw twice in full-suite position on a busy session)
         if m >= n:
-            return m
+            stable += 1
+            if stable >= 4:
+                return m
+        else:
+            stable = 0
         n = m
     return n
 
@@ -49,7 +59,6 @@ def test_release_after_each_operator(spark):
     # blocks (engine lineage cuts — NOT SQL-cache entries) legitimately
     # survive clearCache; the hygiene claim is about the operators' OWN
     # persisted frames, i.e. storage returns to baseline after release
-    base = _settled_baseline(spark)
     persisted_any = False
     for build in (
         lambda: lsh_candidate_pairs(d, k=8, bands=4),
@@ -59,6 +68,9 @@ def test_release_after_each_operator(spark):
             d.select("doc_id", F.length("text").alias("n")), "doc_id", "n"
         ),
     ):
+        # fresh settled baseline per operator: a single run-wide baseline
+        # races the drain of PRIOR suites' blocks (see _settled_baseline)
+        base = _settled_baseline(spark)
         build().write.format("noop").mode("overwrite").save()  # consuming action
         persisted_any = persisted_any or _n_cached(spark) > base
         # the hygiene hook fully releases it (settle: same async drain)
